@@ -1,0 +1,82 @@
+"""Benchmark: 16MP full-pyramid disparity (mode 1) on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": seconds_per_pair, "unit": "s/pair",
+   "vs_baseline": reference_seconds / ours}
+
+Baseline: the reference CUDA matcher does a 16MP RGB pair in 10 s
+(/root/reference/README.md:15; BASELINE.md).  vs_baseline > 1 means faster
+than the reference.
+
+Env overrides: BENCH_H, BENCH_W (default 3264 x 4928 — the Glasgow rig
+resolution, calibrations/calL.xml), BENCH_REPEATS (default 3),
+BENCH_MODE ("mode1" | "foveated").
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    # Persistent compile cache: the pyramid engine jits one scan per level;
+    # cache across processes so re-running the bench skips recompilation.
+    cache_dir = os.environ.get("JAX_CACHE_DIR",
+                               os.path.expanduser("~/.cache/ug_tpu_jax"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from ug_stereomatcher_tpu import StereoEngine, MatcherConfig
+
+    h = int(os.environ.get("BENCH_H", 3264))
+    w = int(os.environ.get("BENCH_W", 4928))
+    repeats = int(os.environ.get("BENCH_REPEATS", 3))
+    mode = os.environ.get("BENCH_MODE", "mode1")
+    baseline_s = 10.0 if mode == "mode1" else 3.0
+
+    rng = np.random.RandomState(0)
+    left = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    # right: small horizontal shift of left, so the matcher does real work
+    right = np.roll(left, 3, axis=1)
+
+    eng = StereoEngine(MatcherConfig())
+    run = eng.match if mode == "mode1" else eng.match_foveated
+
+    def once():
+        t0 = time.perf_counter()
+        res = run(left, right)
+        if hasattr(res, "disparity_h"):
+            np.asarray(res.disparity_h)[0, 0]
+        else:
+            np.asarray(res.stack_h)[0, 0]
+        return time.perf_counter() - t0
+
+    compile_s = once()  # warmup / compile
+    times = [once() for _ in range(repeats)]
+    value = float(min(times))
+
+    print(json.dumps({
+        "metric": f"16mp_{mode}_disparity_latency"
+                  if (h, w) == (3264, 4928) else
+                  f"{mode}_disparity_latency_{h}x{w}",
+        "value": round(value, 4),
+        "unit": "s/pair",
+        "vs_baseline": round(baseline_s / value, 3),
+        "extra": {
+            "height": h, "width": w, "repeats": repeats,
+            "compile_plus_first_run_s": round(compile_s, 2),
+            "all_runs_s": [round(t, 4) for t in times],
+            "device": str(jax.devices()[0]),
+            "baseline_s": baseline_s,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,227 @@
+"""StereoEngine — the in-process pipeline API.
+
+Replaces the reference's ROS node layer (UG_GPU_matcher.cpp): one long-lived
+jitted engine instead of a per-frame process that re-initialises CUDA and is
+killed/respawned by a supervisor to contain leaks (matcher.py;
+MatchGPULib.cpp:400 cudaDeviceReset per frame — anti-patterns deliberately
+not replicated).
+
+Modes:
+  * ``match(left, right)``            — mode 1: full-resolution pyramid
+    disparity (UG_GPU_matcher.cpp:421-491 non-foveated branch).
+  * ``match_foveated(left, right)``   — mode 2: foveated per-level disparity
+    stack + image stacks (UG_GPU_matcher.cpp:163-419).
+  * ``match_hierarchical(left, right)`` — foveated match pasted back to a
+    full-resolution map (MatchGPULib.cpp:355-360, service-style fov path).
+
+Stacked outputs reproduce the reference's published layouts exactly
+(vertical stacks of fovea-sized planes, level-major; image stacks
+level-major with channel-major rows inside each level —
+UG_GPU_matcher.cpp:203-213, 293-303).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ug_stereomatcher_tpu.config import MatcherConfig
+from ug_stereomatcher_tpu import match as match_mod
+from ug_stereomatcher_tpu import pyramid as pyr
+
+
+@dataclasses.dataclass
+class MatchResult:
+    """Full-resolution two-axis disparity + confidence (mode 1).
+
+    The analog of the three stereo_msgs/DisparityImage messages published on
+    output_disparityH/V/C (UG_GPU_matcher.cpp:50-52, 469-479)."""
+    disparity_h: jnp.ndarray   # (H, W)
+    disparity_v: jnp.ndarray   # (H, W)
+    confidence: jnp.ndarray    # (H, W)
+
+    @property
+    def triplet(self) -> jnp.ndarray:
+        return jnp.stack([self.disparity_h, self.disparity_v, self.confidence])
+
+
+@dataclasses.dataclass
+class FoveatedStackResult:
+    """Foveated disparity stack (mode 2) — the analog of the foveatedstack
+    messages on output_stackH/V/C (+ left/right pyramid stacks) with the
+    metadata of msg/foveatedstack.msg:7-21."""
+    stack_h: jnp.ndarray       # (num_levels * roi_height, roi_width)
+    stack_v: jnp.ndarray
+    stack_c: jnp.ndarray
+    stack_left: jnp.ndarray    # (num_levels * 3 * roi_height, roi_width)
+    stack_right: jnp.ndarray
+    im_width: int
+    im_height: int
+    roi_width: int
+    roi_height: int
+    num_levels: int
+
+    def level_disparity(self, level: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Un-stack one level's (disp_h, disp_v, confidence)."""
+        h = self.roi_height
+        sl = slice(level * h, (level + 1) * h)
+        return self.stack_h[sl], self.stack_v[sl], self.stack_c[sl]
+
+    def level_image(self, level: int, side: str = "left") -> jnp.ndarray:
+        """Un-stack one level's (3, roi_height, roi_width) image."""
+        h = self.roi_height
+        stack = self.stack_left if side == "left" else self.stack_right
+        base = level * 3 * h
+        chans = [stack[base + c * h: base + (c + 1) * h] for c in range(3)]
+        return jnp.stack(chans)
+
+
+def _to_chw(image: np.ndarray | jnp.ndarray, dtype) -> jnp.ndarray:
+    """Accept (H, W, 3) uint8/float or (3, H, W); return (3, H, W) float."""
+    arr = jnp.asarray(image)
+    if arr.ndim != 3:
+        raise ValueError(f"expected 3-D RGB image, got shape {arr.shape}")
+    if arr.shape[0] != 3 and arr.shape[-1] == 3:
+        arr = jnp.moveaxis(arr, -1, 0)
+    return arr.astype(dtype)
+
+
+def _check_pair(left: jnp.ndarray, right: jnp.ndarray) -> None:
+    if left.shape != right.shape:
+        raise ValueError(
+            f"stereo pair shapes differ: left {left.shape} vs right "
+            f"{right.shape} — both images must have identical dimensions")
+
+
+class StereoEngine:
+    """Long-lived stereo matching engine with per-shape jit caching."""
+
+    def __init__(self, config: Optional[MatcherConfig] = None):
+        self.config = config or MatcherConfig()
+        self._cache: Dict[Tuple, object] = {}
+        self.metrics: Dict[str, float] = {}
+
+    # ------------------------------------------------------------------
+    def _dtype(self):
+        return jnp.dtype(self.config.dtype)
+
+    def _jitted(self, key, builder):
+        fn = self._cache.get(key)
+        if fn is None:
+            fn = builder()
+            self._cache[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    # Mode 1: full-resolution pyramid matching
+    # ------------------------------------------------------------------
+    def match(self, left, right) -> MatchResult:
+        """Full-resolution two-axis disparity for an RGB pair.
+
+        Reference path: MatchGPULib.cpp:303 ``match`` with fov=0 — pyramid
+        build, coarse-to-fine matching, return the finest level."""
+        cfg = self.config
+        left = _to_chw(left, self._dtype())
+        right = _to_chw(right, self._dtype())
+        _check_pair(left, right)
+        h, w = left.shape[-2:]
+        fn = self._jitted(("match", h, w, cfg), lambda: jax.jit(
+            partial(self._match_impl, height=h, width=w)))
+        trip = fn(left, right)
+        return MatchResult(trip[0], trip[1], trip[2])
+
+    def _match_impl(self, left, right, *, height, width):
+        cfg = self.config
+        n = cfg.num_levels(height, width)
+        lp = pyr.build_pyramid(left, cfg, n)
+        rp = pyr.build_pyramid(right, cfg, n)
+        res = match_mod.match_pyramid(lp, rp, cfg, (height, width),
+                                      foveated=False)
+        return res.levels[0]
+
+    # ------------------------------------------------------------------
+    # Mode 2: foveated stack matching
+    # ------------------------------------------------------------------
+    def match_foveated(self, left, right) -> FoveatedStackResult:
+        """Foveated per-level disparity stack for an RGB pair.
+
+        Reference path: matchStackPyramid (MatchGPULib.cpp:534) + the node's
+        stack reshaping (UG_GPU_matcher.cpp:163-369)."""
+        cfg = self.config
+        left = _to_chw(left, self._dtype())
+        right = _to_chw(right, self._dtype())
+        _check_pair(left, right)
+        h, w = left.shape[-2:]
+        fov_h, fov_w = cfg.fovea_dims(h, w)
+        fn = self._jitted(("fov", h, w, cfg), lambda: jax.jit(
+            partial(self._match_foveated_impl, height=h, width=w)))
+        stack_h, stack_v, stack_c, stack_l, stack_r = fn(left, right)
+        return FoveatedStackResult(
+            stack_h=stack_h, stack_v=stack_v, stack_c=stack_c,
+            stack_left=stack_l, stack_right=stack_r,
+            im_width=w, im_height=h,
+            roi_width=fov_w, roi_height=fov_h,
+            num_levels=cfg.fovea_level)
+
+    def _match_foveated_impl(self, left, right, *, height, width):
+        cfg = self.config
+        n = cfg.num_levels(height, width)
+        lp = pyr.build_pyramid(left, cfg, n)
+        rp = pyr.build_pyramid(right, cfg, n)
+        lf = pyr.foveate_pyramid(lp, cfg, (height, width))
+        rf = pyr.foveate_pyramid(rp, cfg, (height, width))
+        res = match_mod.match_pyramid(lf, rf, cfg, (height, width),
+                                      foveated=True)
+        k = cfg.fovea_level
+        # Disparity stacks: level-major vertical stack of fovea-sized planes.
+        stack_h = jnp.concatenate([res.levels[i][0] for i in range(k)], axis=0)
+        stack_v = jnp.concatenate([res.levels[i][1] for i in range(k)], axis=0)
+        stack_c = jnp.concatenate([res.levels[i][2] for i in range(k)], axis=0)
+        # Image stacks: level-major, channel-major rows inside each level
+        # (UG_GPU_matcher.cpp:203-213).
+        stack_l = jnp.concatenate(
+            [lf[i].reshape(-1, lf[i].shape[-1]) for i in range(k)], axis=0)
+        stack_r = jnp.concatenate(
+            [rf[i].reshape(-1, rf[i].shape[-1]) for i in range(k)], axis=0)
+        return stack_h, stack_v, stack_c, stack_l, stack_r
+
+    # ------------------------------------------------------------------
+    def match_hierarchical(self, left, right) -> MatchResult:
+        """Foveated match reconstructed to a full-resolution map: sharp
+        fovea, progressively blurrier periphery (match(fov=1) path,
+        MatchGPULib.cpp:355-360 -> hierarchicalDisparity:2589)."""
+        cfg = self.config
+        left = _to_chw(left, self._dtype())
+        right = _to_chw(right, self._dtype())
+        _check_pair(left, right)
+        h, w = left.shape[-2:]
+        fn = self._jitted(("hier", h, w, cfg), lambda: jax.jit(
+            partial(self._match_hierarchical_impl, height=h, width=w)))
+        trip = fn(left, right)
+        return MatchResult(trip[0], trip[1], trip[2])
+
+    def _match_hierarchical_impl(self, left, right, *, height, width):
+        cfg = self.config
+        n = cfg.num_levels(height, width)
+        lp = pyr.build_pyramid(left, cfg, n)
+        rp = pyr.build_pyramid(right, cfg, n)
+        lf = pyr.foveate_pyramid(lp, cfg, (height, width))
+        rf = pyr.foveate_pyramid(rp, cfg, (height, width))
+        res = match_mod.match_pyramid(lf, rf, cfg, (height, width),
+                                      foveated=True)
+        return pyr.hierarchical_disparity(res.levels, cfg, (height, width))
+
+    # ------------------------------------------------------------------
+    def get_disparities(self, left, right, foveated: bool = False):
+        """Synchronous service-style entry point — the GetDisparitiesGPU
+        service analog (srv/GetDisparitiesGPU.srv; UG_GPU_matcher.cpp:497).
+
+        Returns a MatchResult (non-foveated) or FoveatedStackResult."""
+        if foveated:
+            return self.match_foveated(left, right)
+        return self.match(left, right)

@@ -1,0 +1,192 @@
+"""Coarse-to-fine iterative matching engine.
+
+``match_level`` is the hot loop — the TPU-native re-design of the reference's
+``matchlevel`` (MatchGPULib.cpp:1662-2489).  Where the reference launches
+~25 CUDA kernels per (iteration, channel) with device-to-device copies
+between each, this implementation is a single ``lax.scan`` over iterations
+whose body is one fused XLA computation: channels are a batched axis, the
+five correlation shifts are vectorised, and iteration-invariant terms
+(the blurred left-energy map) are hoisted out of the loop.
+
+``match_pyramid`` is the coarse-to-fine scheduler (reference ``matching``,
+MatchGPULib.cpp:1196-1318) including the foveated level-size overrides and
+the two disparity up-sampling paths.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ug_stereomatcher_tpu.config import MatcherConfig
+from ug_stereomatcher_tpu.ops.conv import (
+    blur_average_clamp,
+    blur_gaussian_clamp,
+    blur_gaussian_zero,
+)
+from ug_stereomatcher_tpu.ops.pointwise import (
+    blend_confidence,
+    correlation_ratio,
+    parabola_fit,
+)
+from ug_stereomatcher_tpu.ops.resample import shift_image, warp_by_disparity
+from ug_stereomatcher_tpu.ops.smooth import weighted_smooth
+from ug_stereomatcher_tpu import pyramid as pyr
+
+# Correlation search moves (MatchGPULib.cpp:1677): left, right, up, down,
+# centre.  Horizontal parabola reads (left, centre, right); vertical reads
+# (up, centre, down) — see the calculatePolyDisparity call sites
+# (MatchGPULib.cpp:2129-2154).
+MOVES: Tuple[Tuple[int, int], ...] = ((-1, 0), (1, 0), (0, -1), (0, 1), (0, 0))
+
+
+def direction_maps(left: jnp.ndarray, warped: jnp.ndarray,
+                   blurred_l2: jnp.ndarray) -> List[jnp.ndarray]:
+    """Five channel-mean correlation maps for the current warp.
+
+    left, warped: (C, H, W); blurred_l2: (C, H, W) precomputed
+    G(left^2) with clamp boundary.  Returns [dir_l, dir_r, dir_u, dir_d,
+    dir_c], each (H, W).
+
+    Per move d: corr_d = clip(G(L*W_d)^2 / (G(L^2) * G(W^2)(x+d)), 0, 1)
+    averaged over channels — the reference's per-channel accumulate/rescale
+    chain (MatchGPULib.cpp:1910-2079)."""
+    blurred_w2 = blur_gaussian_clamp(warped * warped)
+    out = []
+    for (dx, dy) in MOVES:
+        cross = left * shift_image(warped, dx, dy)
+        bcross = blur_gaussian_zero(cross)
+        corr = correlation_ratio(bcross, blurred_l2,
+                                 shift_image(blurred_w2, dx, dy))
+        out.append(jnp.mean(corr, axis=0))
+    return out
+
+
+def match_level(left: jnp.ndarray, right: jnp.ndarray, disp: jnp.ndarray,
+                level_index: int, cfg: MatcherConfig,
+                is_coarsest: bool) -> jnp.ndarray:
+    """Iteratively refine the disparity triplet at one pyramid level.
+
+    left, right: (C, H, W) images at this level.
+    disp: (3, H, W) state [disp_h, disp_v, confidence].
+    level_index: pyramid index i (0 = finest) — sets the iteration count
+    mi = 22 for i > 5 else (i+1)*2 and the smoothing repetitions
+    (10 for the two finest levels, else 5).
+    is_coarsest: the confidence blend is skipped on the very first iteration
+    of the coarsest level (MatchGPULib.cpp:2223-2225).
+
+    Returns the refined (3, H, W) triplet.
+    """
+    mi = cfg.iters_for_level(level_index)
+    n_smooth = cfg.smooth_passes_for_level(level_index)
+    thresholds = jnp.asarray(cfg.threshold_schedule(mi), dtype=left.dtype)
+
+    # Iteration-invariant: blurred left energy (the reference recomputes this
+    # every iteration/channel — MatchGPULib.cpp:1809-1880 — pure waste).
+    blurred_l2 = blur_gaussian_clamp(left * left)
+
+    def body(carry, inputs):
+        disp_h, disp_v, conf = carry
+        m, threshold = inputs
+
+        warped = warp_by_disparity(right, disp_h, disp_v, cfg.interp)
+        dir_l, dir_r, dir_u, dir_d, dir_c = direction_maps(
+            left, warped, blurred_l2)
+
+        inc_h, conf_h = parabola_fit(dir_l, dir_c, dir_r, threshold)
+        inc_v, conf_v = parabola_fit(dir_u, dir_c, dir_d, threshold)
+        conf_new = conf_h * conf_v  # compCorrelation (MatchLib.cu:884-908)
+
+        disp_h = inc_h + disp_h  # step scaling is int(1.0)=1 in the reference
+        disp_v = inc_v + disp_v  # (scaleDisparity with m=1, MatchGPULib.cpp:2175)
+
+        blended = blend_confidence(conf_new, conf,
+                                   cfg.conf_blend_new, cfg.conf_blend_old)
+        if is_coarsest:
+            conf = jnp.where(m == 0, conf_new, blended)
+        else:
+            conf = blended
+
+        # Confidence-weighted plus-smoothing: all three maps smoothed against
+        # the same pre-pass confidence snapshot (MatchGPULib.cpp:2262-2292).
+        for _ in range(n_smooth):
+            c0 = conf
+            disp_h = weighted_smooth(disp_h, c0)
+            disp_v = weighted_smooth(disp_v, c0)
+            conf = weighted_smooth(conf, c0)
+
+        # 3-tap average filter on all three maps (MatchGPULib.cpp:2361-2412).
+        disp_h = blur_average_clamp(disp_h)
+        disp_v = blur_average_clamp(disp_v)
+        conf = blur_average_clamp(conf)
+
+        return (disp_h, disp_v, conf), None
+
+    init = (disp[0], disp[1], disp[2])
+    ms = jnp.arange(mi)
+    (disp_h, disp_v, conf), _ = jax.lax.scan(body, init, (ms, thresholds))
+    return jnp.stack([disp_h, disp_v, conf])
+
+
+class PyramidMatchResult(NamedTuple):
+    """Per-level disparity triplets, index 0 = finest level processed."""
+    levels: Tuple[jnp.ndarray, ...]
+
+
+def level_dims_for_matching(cfg: MatcherConfig, height: int, width: int,
+                            num_levels: int, foveated: bool
+                            ) -> List[Tuple[int, int]]:
+    """Per-level match dimensions.  In foveated mode, levels finer than
+    fovea_level-1 are forced to the fixed fovea size
+    (MatchGPULib.cpp:1230-1240)."""
+    dims = list(cfg.dims_chain(height, width)[:num_levels])
+    if foveated:
+        fov = dims[cfg.fovea_level - 1]
+        for i in range(cfg.fovea_level - 1):
+            dims[i] = fov
+    return dims
+
+
+def match_pyramid(left_levels: Sequence[jnp.ndarray],
+                  right_levels: Sequence[jnp.ndarray],
+                  cfg: MatcherConfig,
+                  full_dims: Tuple[int, int],
+                  foveated: bool = False) -> PyramidMatchResult:
+    """Coarse-to-fine driver over a (possibly foveated) pyramid.
+
+    left_levels/right_levels: per-level (C, h, w) images, index 0 = finest.
+    full_dims: (H, W) of the original image (defines the dimension chain).
+    Returns every level's refined triplet (the foveated stack needs them
+    all; non-foveated mode uses index 0).
+
+    Reference: matching (MatchGPULib.cpp:1196-1318).  The initial disparity
+    at the coarsest level is zero (the reference reads freshly-malloc'd —
+    effectively zero-page — memory)."""
+    n = len(left_levels)
+    height, width = full_dims
+    dims = level_dims_for_matching(cfg, height, width, n, foveated)
+    full_chain = cfg.dims_chain(height, width)
+
+    results: List[jnp.ndarray] = [None] * n  # type: ignore[list-item]
+    h, w = dims[n - 1]
+    disp = jnp.zeros((3, h, w), dtype=left_levels[0].dtype)
+
+    for i in range(n - 1, -1, -1):
+        disp = match_level(left_levels[i], right_levels[i], disp, i, cfg,
+                           is_coarsest=(i == n - 1))
+        results[i] = disp
+        if i > 0:
+            if (not foveated) or i >= cfg.fovea_level:
+                h2, w2 = dims[i - 1]
+                disp = pyr.upsample_to_level(disp, h2, w2, cfg)
+            else:
+                # Fovea-to-fovea transition: upsample onto the next full-size
+                # grid then crop the centred window (MatchGPULib.cpp:1288-1293;
+                # target dims captured *before* the fovea override, :1231-1232).
+                big_h, big_w = full_chain[cfg.fovea_level - 2]
+                disp = pyr.foveated_upsample(disp, big_h, big_w, cfg)
+
+    return PyramidMatchResult(levels=tuple(results))

@@ -1,0 +1,136 @@
+"""Texture-style resampling ops: subsample, disparity up-sampling, warping.
+
+One gather op subsumes the reference's texture-unit sampling kernels
+(subsampleKernel, subsampleDispKernel, partsubsampleDispKernel, warpAbyB —
+MatchLib.cu:311-549).  Semantics reproduced exactly:
+
+* Coordinates are texel-centred: destination pixel (ix, iy) samples at
+  (ix + 0.5, iy + 0.5) before any scaling/offset (MatchLib.cu:322-323 etc.).
+* The reference's texture references never set ``filterMode`` so CUDA uses
+  the default cudaFilterModePoint: value = src[floor(y), floor(x)] — i.e.
+  NEAREST sampling, not bilinear.  ``method="nearest"`` (default) reproduces
+  this; ``method="bilinear"`` implements CUDA's linear filtering convention
+  (weights from coord - 0.5) as the quality upgrade.
+* Addressing is clamp-to-edge (cudaAddressModeClamp, the default for
+  unnormalised coordinates).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _gather_hw(img: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
+    """Gather img[..., iy, ix] for integer index maps iy, ix of equal shape.
+
+    img: (..., H, W); iy/ix: int32 arrays (h2, w2) already clamped in-range.
+    Returns (..., h2, w2).
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    flat = img.reshape(img.shape[:-2] + (h * w,))
+    idx = (iy * w + ix).reshape(-1)
+    out = jnp.take(flat, idx, axis=-1)
+    return out.reshape(img.shape[:-2] + iy.shape)
+
+
+def tex_gather(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+               method: str = "nearest") -> jnp.ndarray:
+    """Sample ``img`` at float texel coordinates (x, y), CUDA-texture style.
+
+    x, y: float arrays of identical shape (h2, w2) in texel space (a texel i
+    spans [i, i+1)).  img: (..., H, W).  Returns (..., h2, w2).
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    if method == "nearest":
+        ix = jnp.clip(jnp.floor(x), 0, w - 1).astype(jnp.int32)
+        iy = jnp.clip(jnp.floor(y), 0, h - 1).astype(jnp.int32)
+        return _gather_hw(img, iy, ix)
+    elif method == "bilinear":
+        # CUDA linear filtering: weights derive from (coord - 0.5).
+        xf = x - 0.5
+        yf = y - 0.5
+        x0 = jnp.floor(xf)
+        y0 = jnp.floor(yf)
+        ax = xf - x0
+        ay = yf - y0
+        x0i = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
+        x1i = jnp.clip(x0 + 1, 0, w - 1).astype(jnp.int32)
+        y0i = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
+        y1i = jnp.clip(y0 + 1, 0, h - 1).astype(jnp.int32)
+        v00 = _gather_hw(img, y0i, x0i)
+        v01 = _gather_hw(img, y0i, x1i)
+        v10 = _gather_hw(img, y1i, x0i)
+        v11 = _gather_hw(img, y1i, x1i)
+        top = v00 * (1 - ax) + v01 * ax
+        bot = v10 * (1 - ax) + v11 * ax
+        return top * (1 - ay) + bot * ay
+    raise ValueError(f"unknown method {method!r}")
+
+
+def _dest_coords(out_h: int, out_w: int, dtype=jnp.float32):
+    ys = (jnp.arange(out_h, dtype=dtype) + 0.5)[:, None]
+    xs = (jnp.arange(out_w, dtype=dtype) + 0.5)[None, :]
+    return jnp.broadcast_to(xs, (out_h, out_w)), jnp.broadcast_to(ys, (out_h, out_w))
+
+
+def subsample(img: jnp.ndarray, out_h: int, out_w: int, scale: float,
+              method: str = "nearest") -> jnp.ndarray:
+    """Resample to (out_h, out_w): dst(x,y) = src(x*scale, y*scale).
+
+    Subsumes subsampleKernel (MatchLib.cu:311-367) — used with scale = SCALE
+    (level 0 -> 1) and scale = 2.0 (level i -> i+2) during pyramid build."""
+    xs, ys = _dest_coords(out_h, out_w, img.dtype)
+    return tex_gather(img, xs * scale, ys * scale, method)
+
+
+def upsample_disp(img: jnp.ndarray, out_h: int, out_w: int, scale: float,
+                  value_scale: float, method: str = "nearest") -> jnp.ndarray:
+    """Disparity upsample: dst(x,y) = value_scale * src(x*scale, y*scale).
+
+    Subsumes subsampleDispKernel (MatchLib.cu:372-429): the coarse-to-fine
+    driver calls it with scale = 1/SCALE and value_scale = SCALE
+    (MatchGPULib.cpp:1222, 1279; MatchLib.cu:393-394)."""
+    xs, ys = _dest_coords(out_h, out_w, img.dtype)
+    return value_scale * tex_gather(img, xs * scale, ys * scale, method)
+
+
+def part_upsample_disp(img: jnp.ndarray, out_h: int, out_w: int, scale: float,
+                       method: str = "nearest") -> jnp.ndarray:
+    """Fovea-stack upsample: dst(x,y) = scale * src(x/scale, y/scale).
+
+    Subsumes partsubsampleDispKernel (MatchLib.cu:435-492), used by
+    hierarchical full-resolution reconstruction (MatchGPULib.cpp:2589)."""
+    xs, ys = _dest_coords(out_h, out_w, img.dtype)
+    return scale * tex_gather(img, xs / scale, ys / scale, method)
+
+
+def warp_by_disparity(img: jnp.ndarray, disp_x: jnp.ndarray,
+                      disp_y: jnp.ndarray, method: str = "nearest") -> jnp.ndarray:
+    """Backward warp: dst(x,y) = src(x + disp_x(x,y), y + disp_y(x,y)).
+
+    Subsumes warpAbyB (MatchLib.cu:499-549): warps the right image toward the
+    left by the current two-axis disparity.  img: (..., H, W),
+    disp_x/disp_y: (H, W)."""
+    h, w = img.shape[-2], img.shape[-1]
+    xs, ys = _dest_coords(h, w, disp_x.dtype)
+    return tex_gather(img, xs + disp_x, ys + disp_y, method)
+
+
+def shift_image(img: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
+    """Integer shift with clamp addressing: dst(x,y) = src(x+dx, y+dy).
+
+    Equivalent to tex_gather at (x+0.5+dx, y+0.5+dy) with nearest sampling —
+    the correlation search moves (CompareMove / MoveCorrelation second
+    operand, MatchLib.cu:607-725) always use dx,dy in {-1,0,1}.  Implemented
+    with pad+slice so XLA fuses it into the surrounding stencil."""
+    if dx == 0 and dy == 0:
+        return img
+    pads = [(0, 0)] * (img.ndim - 2)
+    pads += [(max(0, -dy), max(0, dy)), (max(0, -dx), max(0, dx))]
+    xp = jnp.pad(img, pads, mode="edge")
+    h, w = img.shape[-2], img.shape[-1]
+    y0 = max(0, dy)
+    x0 = max(0, dx)
+    sl = [slice(None)] * (img.ndim - 2) + [slice(y0, y0 + h), slice(x0, x0 + w)]
+    return xp[tuple(sl)]

@@ -1,0 +1,47 @@
+"""Pair-batch data parallelism.
+
+Shards a batch of stereo pairs across the 'pairs' mesh axis — the TPU-native
+counterpart of running the Glasgow 80-pair database through the matcher
+(SURVEY.md §2.5 'pair-batch data parallelism').  The per-pair pipeline is
+vmapped; GSPMD partitions the batch axis, so no cross-pair communication is
+needed (embarrassingly parallel over ICI/DCN).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ug_stereomatcher_tpu.config import MatcherConfig
+from ug_stereomatcher_tpu import match as match_mod
+from ug_stereomatcher_tpu import pyramid as pyr
+
+
+def _single_pair(left, right, cfg: MatcherConfig, height: int, width: int):
+    n = cfg.num_levels(height, width)
+    lp = pyr.build_pyramid(left, cfg, n)
+    rp = pyr.build_pyramid(right, cfg, n)
+    res = match_mod.match_pyramid(lp, rp, cfg, (height, width), foveated=False)
+    return res.levels[0]
+
+
+def batch_match(left_batch, right_batch, cfg: Optional[MatcherConfig] = None,
+                mesh: Optional[Mesh] = None):
+    """Match a batch of pairs, sharded over the mesh 'pairs' axis.
+
+    left_batch/right_batch: (B, 3, H, W) float arrays.
+    Returns (B, 3, H, W) disparity triplets.
+    """
+    cfg = cfg or MatcherConfig()
+    b, _, h, w = left_batch.shape
+    fn = jax.vmap(partial(_single_pair, cfg=cfg, height=h, width=w))
+    if mesh is not None:
+        spec = NamedSharding(mesh, P("pairs"))
+        fn = jax.jit(fn, in_shardings=(spec, spec), out_shardings=spec)
+    else:
+        fn = jax.jit(fn)
+    return fn(jnp.asarray(left_batch), jnp.asarray(right_batch))

@@ -1,0 +1,320 @@
+"""Spatial (row-tile) sharding of the match engine with explicit halo
+exchange — the ring-attention-style stencil pattern of SURVEY.md §5.
+
+Design: each pyramid level's (C, H, W) arrays are padded to a multiple of
+the row-axis size and row-sharded.  Inside ``shard_map``:
+
+* stencil ops (blurs, ±1 shifts, plus-smoothing) exchange fixed halos with
+  ``lax.ppermute`` (radius 2 for the 5-tap blurs, 1 for shifts/smoothing);
+* the disparity-driven warp uses a tiled row ``all_gather`` of the right
+  image (vertical disparity is unbounded in general, and coarse levels are
+  tiny — SURVEY.md §2.5's 'row all-gathers' option);
+* global image edges keep the reference's boundary semantics (zero for the
+  cross-correlation blurs, clamp for texture convs/shifts) via a pad-region
+  refresh before each stencil: the bottom pad rows are rewritten to the
+  exact boundary extension (zeros or edge-row replicate), so sharded results
+  are bit-identical to the single-device engine.
+
+Pyramid levels smaller than ``min_rows_per_shard *  n_shards`` run
+replicated — the reference's coarse levels are a few dozen pixels and not
+worth a collective (SURVEY.md §2.5 'replicate small levels').
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+def shard_map(f, *, mesh, in_specs, out_specs):
+    """Version-portable shard_map (check_rep/check_vma renamed across jax)."""
+    import inspect
+    params = inspect.signature(jax.shard_map).parameters
+    kw = {"mesh": mesh, "in_specs": in_specs, "out_specs": out_specs}
+    if "check_vma" in params:
+        kw["check_vma"] = False
+    else:  # pragma: no cover
+        kw["check_rep"] = False
+    return jax.shard_map(f, **kw)
+
+from ug_stereomatcher_tpu.config import MatcherConfig
+from ug_stereomatcher_tpu.ops.conv import _AVG, _GAUSS, conv1d
+from ug_stereomatcher_tpu.ops.pointwise import (
+    blend_confidence,
+    correlation_ratio,
+    parabola_fit,
+)
+from ug_stereomatcher_tpu.ops.resample import shift_image, tex_gather
+from ug_stereomatcher_tpu import match as match_mod
+from ug_stereomatcher_tpu import pyramid as pyr
+
+
+# ----------------------------------------------------------------------
+# Halo / boundary primitives (row axis = -2, sharded; width axis local)
+# ----------------------------------------------------------------------
+
+def _refresh_pad(x: jnp.ndarray, true_h: int, axis_name: str,
+                 boundary: str) -> jnp.ndarray:
+    """Rewrite the bottom pad rows (global rows >= true_h) with the exact
+    boundary extension the next stencil op expects."""
+    n = lax.axis_size(axis_name)
+    hl = x.shape[-2]
+    if hl * n == true_h:
+        return x
+    row_global = (lax.axis_index(axis_name) * hl
+                  + jnp.arange(hl))[:, None]
+    mask = row_global >= true_h
+    if boundary == "zero":
+        fill = jnp.zeros_like(x[..., :1, :])
+    else:
+        # the true edge row lives in the last shard (pad < hl is guaranteed
+        # by ceil-division); other shards never hit the mask.
+        local_edge = max(0, min(hl - 1, true_h - 1 - (n - 1) * hl))
+        fill = x[..., local_edge:local_edge + 1, :]
+    return jnp.where(mask, fill, x)
+
+
+def halo_pad_rows(x: jnp.ndarray, halo: int, axis_name: str,
+                  boundary: str) -> jnp.ndarray:
+    """Extend the local row block with ``halo`` rows from each neighbour
+    shard; global top/bottom edges get clamp (edge-replicate) or zero
+    extension.  x: (..., Hl, W) -> (..., Hl+2*halo, W)."""
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    top_rows = x[..., :halo, :]
+    bot_rows = x[..., -halo:, :]
+    # bottom halo of shard i <- top rows of shard i+1 ; ppermute fills
+    # shards with no source with zeros (the zero-boundary case for free).
+    from_below = lax.ppermute(top_rows, axis_name,
+                              [(i, i - 1) for i in range(1, n)])
+    from_above = lax.ppermute(bot_rows, axis_name,
+                              [(i, i + 1) for i in range(n - 1)])
+    if boundary == "clamp":
+        edge_top = jnp.broadcast_to(x[..., :1, :], top_rows.shape)
+        edge_bot = jnp.broadcast_to(x[..., -1:, :], bot_rows.shape)
+        from_above = jnp.where(idx == 0, edge_top, from_above)
+        from_below = jnp.where(idx == n - 1, edge_bot, from_below)
+    return jnp.concatenate([from_above, x, from_below], axis=-2)
+
+
+def _conv_rows_halo(x: jnp.ndarray, kernel, axis_name: str,
+                    boundary: str, true_h: int) -> jnp.ndarray:
+    """Row-axis (height) 1-D conv of a row-sharded array."""
+    kernel = np.asarray(kernel)
+    radius = len(kernel) // 2
+    x = _refresh_pad(x, true_h, axis_name, boundary)
+    xp = halo_pad_rows(x, radius, axis_name, boundary)
+    hl = x.shape[-2]
+    out = None
+    for k in range(-radius, radius + 1):
+        w = float(kernel[radius - k])
+        if w == 0.0:
+            continue
+        term = w * xp[..., radius + k: radius + k + hl, :]
+        out = term if out is None else out + term
+    return out
+
+
+def sharded_conv_separable(x: jnp.ndarray, kernel, axis_name: str,
+                           boundary: str, true_h: int) -> jnp.ndarray:
+    """Separable conv of a row-sharded (..., Hl, W) block: width pass is
+    local, height pass exchanges halos (order matches ops.conv: rows/width
+    first, then columns/height)."""
+    x = conv1d(x, kernel, axis=-1, boundary=boundary)
+    return _conv_rows_halo(x, kernel, axis_name, boundary, true_h)
+
+
+def _shift_rows_halo(x: jnp.ndarray, dy: int, axis_name: str,
+                     true_h: int) -> jnp.ndarray:
+    """Vertical ±1 clamp shift of a row-sharded block."""
+    if dy == 0:
+        return x
+    x = _refresh_pad(x, true_h, axis_name, "clamp")
+    xp = halo_pad_rows(x, 1, axis_name, "clamp")
+    hl = x.shape[-2]
+    return xp[..., 1 + dy: 1 + dy + hl, :]
+
+
+def _sharded_shift(x: jnp.ndarray, dx: int, dy: int, axis_name: str,
+                   true_h: int) -> jnp.ndarray:
+    if dx != 0:
+        x = shift_image(x, dx, 0)
+    return _shift_rows_halo(x, dy, axis_name, true_h)
+
+
+def _sharded_smooth(disp: jnp.ndarray, conf: jnp.ndarray, axis_name: str,
+                    true_h: int) -> jnp.ndarray:
+    """Row-sharded confidence-weighted plus-smoothing (ops.smooth)."""
+    disp = _refresh_pad(disp, true_h, axis_name, "clamp")
+    conf = _refresh_pad(conf, true_h, axis_name, "clamp")
+    num = disp * conf
+    den = conf
+    for (dx, dy) in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        cs = _sharded_shift(conf, dx, dy, axis_name, true_h)
+        num = num + _sharded_shift(disp, dx, dy, axis_name, true_h) * cs
+        den = den + cs
+    out = num / den
+    hl = disp.shape[-2]
+    row_global = (lax.axis_index(axis_name) * hl + jnp.arange(hl))[:, None]
+    col = jnp.arange(disp.shape[-1])[None, :]
+    keep = (row_global == 0) | (col == 0)
+    return jnp.where(keep, disp, out)
+
+
+def _sharded_warp(right: jnp.ndarray, disp_x: jnp.ndarray,
+                  disp_y: jnp.ndarray, axis_name: str, true_h: int,
+                  method: str) -> jnp.ndarray:
+    """Row-sharded backward warp: tiled all-gather of the right image, then
+    a local gather with global row coordinates (clamped to the true image)."""
+    hl = right.shape[-2]
+    w = right.shape[-1]
+    full = lax.all_gather(right, axis_name, axis=-2, tiled=True)
+    row0 = lax.axis_index(axis_name) * hl
+    ys = (jnp.arange(hl, dtype=disp_y.dtype) + 0.5)[:, None] + row0 + disp_y
+    xs = (jnp.arange(w, dtype=disp_x.dtype) + 0.5)[None, :] + disp_x
+    # clamp vertical reads to the true image, not the padded one
+    if method == "nearest":
+        ix = jnp.clip(jnp.floor(xs), 0, w - 1).astype(jnp.int32)
+        iy = jnp.clip(jnp.floor(ys), 0, true_h - 1).astype(jnp.int32)
+        flat = full.reshape(full.shape[:-2] + (-1,))
+        idx = (iy * w + ix).reshape(-1)
+        out = jnp.take(flat, idx, axis=-1)
+        return out.reshape(full.shape[:-2] + (hl, w))
+    ys = jnp.clip(ys, 0.5, true_h - 0.5)
+    return tex_gather(full, xs, ys, method)
+
+
+# ----------------------------------------------------------------------
+# Row-sharded level engine
+# ----------------------------------------------------------------------
+
+def _level_body(left, right, disp0, *, cfg: MatcherConfig, level_index: int,
+                is_coarsest: bool, true_h: int, axis_name: str):
+    """shard_map body: identical math to match.match_level on row blocks."""
+    mi = cfg.iters_for_level(level_index)
+    n_smooth = cfg.smooth_passes_for_level(level_index)
+    thresholds = jnp.asarray(cfg.threshold_schedule(mi), dtype=left.dtype)
+
+    def conv_clamp(x):
+        return sharded_conv_separable(x, _GAUSS, axis_name, "clamp", true_h)
+
+    def conv_zero(x):
+        return sharded_conv_separable(x, _GAUSS, axis_name, "zero", true_h)
+
+    def conv_avg(x):
+        return sharded_conv_separable(x, _AVG, axis_name, "clamp", true_h)
+
+    blurred_l2 = conv_clamp(left * left)
+
+    def body(carry, inputs):
+        disp_h, disp_v, conf = carry
+        m, threshold = inputs
+
+        warped = _sharded_warp(right, disp_h, disp_v, axis_name, true_h,
+                               cfg.interp)
+        blurred_w2 = conv_clamp(warped * warped)
+        dirs = []
+        for (dx, dy) in match_mod.MOVES:
+            cross = left * _sharded_shift(warped, dx, dy, axis_name, true_h)
+            bcross = conv_zero(cross)
+            corr = correlation_ratio(
+                bcross, blurred_l2,
+                _sharded_shift(blurred_w2, dx, dy, axis_name, true_h))
+            dirs.append(jnp.mean(corr, axis=0))
+        dir_l, dir_r, dir_u, dir_d, dir_c = dirs
+
+        inc_h, conf_h = parabola_fit(dir_l, dir_c, dir_r, threshold)
+        inc_v, conf_v = parabola_fit(dir_u, dir_c, dir_d, threshold)
+        conf_new = conf_h * conf_v
+
+        disp_h = inc_h + disp_h
+        disp_v = inc_v + disp_v
+        blended = blend_confidence(conf_new, conf,
+                                   cfg.conf_blend_new, cfg.conf_blend_old)
+        if is_coarsest:
+            conf = jnp.where(m == 0, conf_new, blended)
+        else:
+            conf = blended
+
+        for _ in range(n_smooth):
+            c0 = conf
+            disp_h = _sharded_smooth(disp_h, c0, axis_name, true_h)
+            disp_v = _sharded_smooth(disp_v, c0, axis_name, true_h)
+            conf = _sharded_smooth(conf, c0, axis_name, true_h)
+
+        disp_h = conv_avg(disp_h)
+        disp_v = conv_avg(disp_v)
+        conf = conv_avg(conf)
+        return (disp_h, disp_v, conf), None
+
+    init = (disp0[0], disp0[1], disp0[2])
+    ms = jnp.arange(mi)
+    (dh, dv, cf), _ = jax.lax.scan(body, init, (ms, thresholds))
+    return jnp.stack([dh, dv, cf])
+
+
+def sharded_match_level(left: jnp.ndarray, right: jnp.ndarray,
+                        disp: jnp.ndarray, level_index: int,
+                        cfg: MatcherConfig, is_coarsest: bool,
+                        mesh: Mesh, axis_name: str = "rows") -> jnp.ndarray:
+    """Row-sharded match_level.  Pads H to a multiple of the row-axis size,
+    runs the shard_map level engine, and slices the true rows back out.
+    Results match match.match_level exactly."""
+    n = mesh.shape[axis_name]
+    true_h, w = left.shape[-2], left.shape[-1]
+    hl = -(-true_h // n)
+    pad = hl * n - true_h
+
+    def pad_rows(x):
+        if pad == 0:
+            return x
+        cfgpad = [(0, 0)] * (x.ndim - 2) + [(0, pad), (0, 0)]
+        return jnp.pad(x, cfgpad)
+
+    body = partial(_level_body, cfg=cfg, level_index=level_index,
+                   is_coarsest=is_coarsest, true_h=true_h,
+                   axis_name=axis_name)
+    spec = P(None, axis_name, None)
+    fn = shard_map(body, mesh=mesh, in_specs=(spec, spec, spec),
+                   out_specs=spec)
+    out = fn(pad_rows(left), pad_rows(right), pad_rows(disp))
+    return out[..., :true_h, :]
+
+
+def sharded_match_pair(left: jnp.ndarray, right: jnp.ndarray,
+                       cfg: MatcherConfig, mesh: Mesh,
+                       axis_name: str = "rows",
+                       min_rows_per_shard: int = 16
+                       ) -> match_mod.PyramidMatchResult:
+    """Full coarse-to-fine match of one pair with large levels row-sharded.
+
+    Pyramid build, disparity up-sampling and levels with fewer than
+    min_rows_per_shard * n_shards rows run as plain (replicated) ops; the
+    hot fine levels run under shard_map."""
+    n_shards = mesh.shape[axis_name]
+    h, w = left.shape[-2:]
+    n = cfg.num_levels(h, w)
+    lp = pyr.build_pyramid(left, cfg, n)
+    rp = pyr.build_pyramid(right, cfg, n)
+    dims = cfg.dims_chain(h, w)[:n]
+
+    results = [None] * n
+    hh, ww = dims[n - 1]
+    disp = jnp.zeros((3, hh, ww), dtype=left.dtype)
+    for i in range(n - 1, -1, -1):
+        is_coarsest = i == n - 1
+        if dims[i][0] >= min_rows_per_shard * n_shards and n_shards > 1:
+            disp = sharded_match_level(lp[i], rp[i], disp, i, cfg,
+                                       is_coarsest, mesh, axis_name)
+        else:
+            disp = match_mod.match_level(lp[i], rp[i], disp, i, cfg,
+                                         is_coarsest)
+        results[i] = disp
+        if i > 0:
+            h2, w2 = dims[i - 1]
+            disp = pyr.upsample_to_level(disp, h2, w2, cfg)
+    return match_mod.PyramidMatchResult(levels=tuple(results))

@@ -1,0 +1,25 @@
+"""Pipeline layer: the in-process replacement for the ROS node graph.
+
+The reference wires five OS processes over TCPROS topics (SURVEY.md §1 data
+plane); here the same data plane is a composable in-process pipeline with an
+optional background-prefetch executor.
+"""
+
+from ug_stereomatcher_tpu.pipeline.messages import (
+    CamerasSync,
+    StereoFrame,
+    DisparityMessage,
+    FoveatedStackMessage,
+)
+from ug_stereomatcher_tpu.pipeline.capture import ImageListCapture
+from ug_stereomatcher_tpu.pipeline.runner import BatchRunner, PipelineResult
+
+__all__ = [
+    "CamerasSync",
+    "StereoFrame",
+    "DisparityMessage",
+    "FoveatedStackMessage",
+    "ImageListCapture",
+    "BatchRunner",
+    "PipelineResult",
+]

@@ -1,0 +1,134 @@
+"""Pyramid construction, foveation and disparity resampling.
+
+Reproduces the reference's pyramid contract (MatchGPULib.cpp):
+
+* ``build_pyramid``      — CreatePyramidFromImage  (:1033-1125)
+* ``foveate_pyramid``    — CreateFoveatedPyramid   (:1128-1190)
+* ``upsample_to_level``  — subsampleDisp wrapper   (:1526-1590)
+* ``foveated_upsample``  — foveatedsubsampleDisp   (:1595-1655)
+* ``hierarchical_disparity`` — hierarchicalDisparity (:2589-2701)
+
+Dimension chains use truncated integer division by the exact SCALE literal
+(see MatcherConfig.dims_chain).  The pyramid is built as an even/odd
+factor-2 chain: level 1 comes from blurred level 0 at scale SCALE, and every
+level i+2 comes from blurred level i at scale 2.0 — avoiding repeated
+sqrt(2)-resampling drift (MatchGPULib.cpp:1082-1096).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from ug_stereomatcher_tpu.config import MatcherConfig
+from ug_stereomatcher_tpu.ops.conv import blur_gaussian_zero
+from ug_stereomatcher_tpu.ops.resample import (
+    part_upsample_disp,
+    subsample,
+    upsample_disp,
+)
+
+
+def build_pyramid(image: jnp.ndarray, cfg: MatcherConfig,
+                  num_levels: int | None = None) -> List[jnp.ndarray]:
+    """Build the image pyramid.  image: (C, H, W) float. Returns a list of
+    (C, h_i, w_i) arrays, index 0 = finest (the unblurred input itself).
+
+    Each level is Gaussian-blurred (zero-boundary, MatchGPULib.cpp:1071)
+    before being used as a resample source; the *returned* levels are the
+    un-blurred resample results (p[i] = pyramid[i][0], :1119-1121)."""
+    h, w = image.shape[-2], image.shape[-1]
+    dims = cfg.dims_chain(h, w)
+    n = num_levels if num_levels is not None else cfg.num_levels(h, w)
+
+    levels: List[jnp.ndarray] = [None] * n  # type: ignore[list-item]
+    levels[0] = image
+    scale2 = float(int(cfg.scale * cfg.scale + 0.5))  # == 2.0 (MatchGPULib.cpp:1090)
+    for i in range(n):
+        blurred = blur_gaussian_zero(levels[i])
+        if i == 0 and n > 1:
+            h2, w2 = dims[1]
+            levels[1] = subsample(blurred, h2, w2, cfg.scale, cfg.interp)
+        if i + 2 < n:
+            h2, w2 = dims[i + 2]
+            levels[i + 2] = subsample(blurred, h2, w2, scale2, cfg.interp)
+    return levels
+
+
+def foveate_pyramid(levels: Sequence[jnp.ndarray], cfg: MatcherConfig,
+                    full_dims: Tuple[int, int]) -> List[jnp.ndarray]:
+    """Foveated pyramid: levels >= fovea_level-1 alias the full level; finer
+    levels crop a centred window of the fixed fovea size
+    (CreateFoveatedPyramid, MatchGPULib.cpp:1128-1190)."""
+    h0, w0 = full_dims
+    dims = cfg.dims_chain(h0, w0)
+    fov_h, fov_w = dims[cfg.fovea_level - 1]
+    x1, y1 = fov_w // 2, fov_h // 2
+    out: List[jnp.ndarray] = []
+    for level, img in enumerate(levels):
+        if level >= cfg.fovea_level - 1:
+            out.append(img)
+        else:
+            h, w = dims[level]
+            left = w // 2 - x1
+            upper = h // 2 - y1
+            out.append(img[..., upper:upper + fov_h, left:left + fov_w])
+    return out
+
+
+def upsample_to_level(disp: jnp.ndarray, out_h: int, out_w: int,
+                      cfg: MatcherConfig) -> jnp.ndarray:
+    """Upsample a disparity triplet (3, h, w) -> (3, out_h, out_w) for the
+    next finer level; values scaled by SCALE (MatchGPULib.cpp:1279 with
+    scalefactor = 1/SCALE; MatchLib.cu:393-394).
+
+    NOTE: the reference applies the value scaling to all three planes,
+    including confidence (cfg.scale_conf_on_upsample)."""
+    up = upsample_disp(disp, out_h, out_w, 1.0 / cfg.scale, cfg.scale, cfg.interp)
+    if not cfg.scale_conf_on_upsample:
+        conf = upsample_disp(disp[2:3], out_h, out_w, 1.0 / cfg.scale, 1.0,
+                             cfg.interp)
+        up = jnp.concatenate([up[:2], conf], axis=0)
+    return up
+
+
+def foveated_upsample(disp: jnp.ndarray, big_h: int, big_w: int,
+                      cfg: MatcherConfig) -> jnp.ndarray:
+    """Fovea-to-fovea level transition: upsample the fovea-sized disparity to
+    the (big_h, big_w) grid of the next finer full-size level, then crop the
+    centred fovea window back out (foveatedsubsampleDisp,
+    MatchGPULib.cpp:1595-1655)."""
+    fov_h, fov_w = disp.shape[-2], disp.shape[-1]
+    up = upsample_to_level(disp, big_h, big_w, cfg)
+    left = big_w // 2 - fov_w // 2
+    upper = big_h // 2 - fov_h // 2
+    return up[..., upper:upper + fov_h, left:left + fov_w]
+
+
+def hierarchical_disparity(stack: Sequence[jnp.ndarray], cfg: MatcherConfig,
+                           full_dims: Tuple[int, int]) -> jnp.ndarray:
+    """Reconstruct a full-resolution disparity map from a fovea stack.
+
+    Starting at the coarsest fovea level (index fovea_level-1, whose window
+    covers the full image at that resolution), repeatedly upsample by SCALE
+    (values x SCALE — confidence included, a reference quirk) and overwrite
+    the centred fovea window with the next finer stack level
+    (hierarchicalDisparity, MatchGPULib.cpp:2589-2701).
+
+    stack: list of (3, fov_h, fov_w) disparity triplets, index 0 = finest.
+    Returns (3, H, W) at full resolution."""
+    h0, w0 = full_dims
+    dims = cfg.dims_chain(h0, w0)
+    fov_h, fov_w = dims[cfg.fovea_level - 1]
+    xs, ys = fov_w // 2, fov_h // 2
+
+    current = stack[cfg.fovea_level - 1]
+    for level in range(cfg.fovea_level - 1, 0, -1):
+        big_h, big_w = dims[level - 1]
+        up = part_upsample_disp(current, big_h, big_w, cfg.scale, cfg.interp)
+        left = big_w // 2 - xs
+        upper = big_h // 2 - ys
+        window = stack[level - 1]
+        current = up.at[..., upper:upper + fov_h, left:left + fov_w].set(window)
+    return current
