@@ -120,6 +120,25 @@ class MatcherConfig:
     # Compute dtype for the iteration state; float32 matches the reference.
     dtype: str = "float32"
 
+    # Warp backend -------------------------------------------------------
+    # "xla": exact per-element gather (slow on TPU: ~10 ns/element).
+    # "pallas": windowed in-VMEM select-gather kernel — bit-identical to
+    #   the gather for offsets within the window, clamped beyond it.
+    # "auto": pallas on TPU backends for large levels, xla otherwise.
+    warp_backend: str = "auto"
+    # Level-0 warp search window (pixels), scaled by (1/sqrt(2))^level for
+    # coarser levels (scene disparity shrinks with the pyramid).
+    warp_max_dy: int = 8
+    warp_max_dx: int = 256
+
+    def warp_window_for_level(self, level_index: int) -> Tuple[int, int]:
+        """(max_dy, max_dx) for a pyramid level, with floors that keep the
+        window generous relative to the per-level clamp budget."""
+        s = self.scale ** level_index
+        dy = max(4, int(math.ceil(self.warp_max_dy / s)))
+        dx = max(128, int(math.ceil(self.warp_max_dx / s)))
+        return dy, dx
+
     # ---------------------------------------------------------------------
     def num_levels(self, height: int, width: int) -> int:
         """Number of usable pyramid levels for an input of (height, width).

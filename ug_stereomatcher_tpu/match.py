@@ -36,6 +36,40 @@ from ug_stereomatcher_tpu.ops.resample import shift_image, warp_by_disparity
 from ug_stereomatcher_tpu.ops.smooth import weighted_smooth
 from ug_stereomatcher_tpu import pyramid as pyr
 
+
+def _use_pallas_stencil(cfg: MatcherConfig, height: int, width: int) -> bool:
+    """Fused Pallas stencil kernels: on for TPU backends on levels large
+    enough that tile padding doesn't dominate (small levels are dispatch-
+    floor bound either way and XLA's fused elementwise chain is leaner)."""
+    if cfg.warp_backend == "xla":
+        return False
+    if height * width < 256 * 1024:
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
+def _use_pallas_warp(cfg: MatcherConfig, height: int, width: int) -> bool:
+    """Resolve the warp backend at trace time.  The Pallas windowed kernel
+    only pays off on TPU backends and on levels big enough to amortise its
+    tiling; the XLA gather stays the exact reference path elsewhere."""
+    if cfg.warp_backend == "xla" or cfg.interp != "nearest":
+        return False
+    if cfg.warp_backend == "pallas":
+        return True
+    if height < 64 or width < 256:
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
+def _warp(right, disp_h, disp_v, cfg: MatcherConfig, level_index: int):
+    h, w = right.shape[-2:]
+    if _use_pallas_warp(cfg, h, w):
+        from ug_stereomatcher_tpu.ops.pallas.warp import warp_nearest_windowed
+        dy, dx = cfg.warp_window_for_level(level_index)
+        return warp_nearest_windowed(right, disp_h, disp_v,
+                                     max_dy=dy, max_dx=dx)
+    return warp_by_disparity(right, disp_h, disp_v, cfg.interp)
+
 # Correlation search moves (MatchGPULib.cpp:1677): left, right, up, down,
 # centre.  Horizontal parabola reads (left, centre, right); vertical reads
 # (up, centre, down) — see the calculatePolyDisparity call sites
@@ -53,13 +87,16 @@ def direction_maps(left: jnp.ndarray, warped: jnp.ndarray,
 
     Per move d: corr_d = clip(G(L*W_d)^2 / (G(L^2) * G(W^2)(x+d)), 0, 1)
     averaged over channels — the reference's per-channel accumulate/rescale
-    chain (MatchGPULib.cpp:1910-2079)."""
+    chain (MatchGPULib.cpp:1910-2079).  All five moves' cross-products are
+    stacked into one (5, C, H, W) batch so the blur runs as a single
+    batched stencil instead of five kernel launches."""
     blurred_w2 = blur_gaussian_clamp(warped * warped)
+    crosses = jnp.stack(
+        [left * shift_image(warped, dx, dy) for (dx, dy) in MOVES])
+    bcross = blur_gaussian_zero(crosses)
     out = []
-    for (dx, dy) in MOVES:
-        cross = left * shift_image(warped, dx, dy)
-        bcross = blur_gaussian_zero(cross)
-        corr = correlation_ratio(bcross, blurred_l2,
+    for k, (dx, dy) in enumerate(MOVES):
+        corr = correlation_ratio(bcross[k], blurred_l2,
                                  shift_image(blurred_w2, dx, dy))
         out.append(jnp.mean(corr, axis=0))
     return out
@@ -88,42 +125,56 @@ def match_level(left: jnp.ndarray, right: jnp.ndarray, disp: jnp.ndarray,
     # every iteration/channel — MatchGPULib.cpp:1809-1880 — pure waste).
     blurred_l2 = blur_gaussian_clamp(left * left)
 
+    use_pallas = _use_pallas_stencil(cfg, left.shape[-2], left.shape[-1])
+
     def body(carry, inputs):
         disp_h, disp_v, conf = carry
         m, threshold = inputs
 
-        warped = warp_by_disparity(right, disp_h, disp_v, cfg.interp)
-        dir_l, dir_r, dir_u, dir_d, dir_c = direction_maps(
-            left, warped, blurred_l2)
+        warped = _warp(right, disp_h, disp_v, cfg, level_index)
 
-        inc_h, conf_h = parabola_fit(dir_l, dir_c, dir_r, threshold)
-        inc_v, conf_v = parabola_fit(dir_u, dir_c, dir_d, threshold)
-        conf_new = conf_h * conf_v  # compCorrelation (MatchLib.cu:884-908)
-
-        disp_h = inc_h + disp_h  # step scaling is int(1.0)=1 in the reference
-        disp_v = inc_v + disp_v  # (scaleDisparity with m=1, MatchGPULib.cpp:2175)
-
-        blended = blend_confidence(conf_new, conf,
-                                   cfg.conf_blend_new, cfg.conf_blend_old)
-        if is_coarsest:
-            conf = jnp.where(m == 0, conf_new, blended)
+        if use_pallas:
+            # One fused kernel: correlate -> parabola -> update -> blend
+            # (bit-identical to the unfused chain below).
+            from ug_stereomatcher_tpu.ops.pallas.direction import (
+                fused_direction_update)
+            replace = (m == 0) if is_coarsest else jnp.int32(0)
+            state = fused_direction_update(
+                left, warped, blurred_l2,
+                jnp.stack([disp_h, disp_v, conf]), threshold, replace)
         else:
-            conf = blended
+            dir_l, dir_r, dir_u, dir_d, dir_c = direction_maps(
+                left, warped, blurred_l2)
+
+            inc_h, conf_h = parabola_fit(dir_l, dir_c, dir_r, threshold)
+            inc_v, conf_v = parabola_fit(dir_u, dir_c, dir_d, threshold)
+            conf_new = conf_h * conf_v  # compCorrelation (MatchLib.cu:884)
+
+            disp_h = inc_h + disp_h  # step scaling is int(1.0)=1
+            disp_v = inc_v + disp_v  # (scaleDisparity, MatchGPULib.cpp:2175)
+
+            blended = blend_confidence(conf_new, conf,
+                                       cfg.conf_blend_new, cfg.conf_blend_old)
+            if is_coarsest:
+                conf = jnp.where(m == 0, conf_new, blended)
+            else:
+                conf = blended
+            state = jnp.stack([disp_h, disp_v, conf])
 
         # Confidence-weighted plus-smoothing: all three maps smoothed against
-        # the same pre-pass confidence snapshot (MatchGPULib.cpp:2262-2292).
-        for _ in range(n_smooth):
-            c0 = conf
-            disp_h = weighted_smooth(disp_h, c0)
-            disp_v = weighted_smooth(disp_v, c0)
-            conf = weighted_smooth(conf, c0)
-
-        # 3-tap average filter on all three maps (MatchGPULib.cpp:2361-2412).
-        disp_h = blur_average_clamp(disp_h)
-        disp_v = blur_average_clamp(disp_v)
-        conf = blur_average_clamp(conf)
-
-        return (disp_h, disp_v, conf), None
+        # the same pre-pass confidence snapshot (MatchGPULib.cpp:2262-2292),
+        # then the 3-tap average filter (:2361-2412).  Stacked so each pass
+        # is one batched stencil; on TPU the whole chain runs as one fused
+        # Pallas kernel.
+        if use_pallas:
+            from ug_stereomatcher_tpu.ops.pallas.smooth import (
+                fused_smooth_average)
+            state = fused_smooth_average(state, n_passes=n_smooth)
+        else:
+            for _ in range(n_smooth):
+                state = weighted_smooth(state, state[2])
+            state = blur_average_clamp(state)
+        return (state[0], state[1], state[2]), None
 
     init = (disp[0], disp[1], disp[2])
     ms = jnp.arange(mi)

@@ -1,0 +1,240 @@
+"""Fused correlation/direction/update kernel.
+
+Computes one matcher iteration's correlate -> parabola -> update chain
+(reference matchlevel steps 2-6, MatchGPULib.cpp:1809-2250) in a single
+Pallas kernel:
+
+  for each of the 5 moves d:  corr_d = clip(G(L*W_d)^2 /
+                                            (G(L^2) * G(W^2)(x+d)), 0, 1)
+  dir_d  = mean_channels(corr_d)
+  (inc_h, conf_h) = parabola(dir_left,  dir_centre, dir_right)
+  (inc_v, conf_v) = parabola(dir_up,    dir_centre, dir_down)
+  disp'  = disp + inc ;  conf' = blend(conf_h*conf_v, conf)  [or replace on
+                                  the coarsest level's first iteration]
+
+The XLA path launches ~20 kernels per iteration for this chain and streams
+~30 full-map HBM traversals; fused, it reads left/warped/bl2/disp once and
+writes the 3-plane state once.  Boundary semantics are preserved exactly:
+
+* the cross-product blur G(L*W_d) uses ZERO padding outside the image
+  (shared-memory conv family, MatchLib.cu:71-305) — enforced by masking the
+  cross product to zero beyond the image before blurring;
+* the energy blur G(W^2) uses CLAMP addressing (texture conv family,
+  MatchLib.cu:1461-1586) — the inputs arrive edge-padded, and the blurred
+  energy's pad cells are re-clamped before the shifted read.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ug_stereomatcher_tpu.config import gaussian_kernel
+
+HW = 64   # horizontal halo (DMA-alignment driven; compute uses <= 4)
+HALO = 4  # vertical halo (blur radius 2 + shift 1, rounded to 4)
+
+MOVES = ((-1, 0), (1, 0), (0, -1), (0, 1), (0, 0))
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _direction_kernel(left_ref, warped_ref, bl2_ref, disp_ref, thr_ref,
+                      replace_ref, out_ref, *, H, W, TH, TW, taps, ni, nj):
+    g = pl.program_id(0)
+    i = g // nj
+    j = g % nj
+    r0 = i * TH
+    c0 = j * TW
+    bh = TH + 2 * HALO
+    bw = TW + 2 * HW
+
+    def body(lbuf, wbuf, sem):
+        for c in range(3):
+            cp = pltpu.make_async_copy(
+                left_ref.at[c, pl.ds(r0, bh), pl.ds(c0, bw)],
+                lbuf.at[c], sem)
+            cp.start()
+            cp.wait()
+            cp = pltpu.make_async_copy(
+                warped_ref.at[c, pl.ds(r0, bh), pl.ds(c0, bw)],
+                wbuf.at[c], sem)
+            cp.start()
+            cp.wait()
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
+        g_r = rows + (r0 - HALO)
+        g_c = cols + (c0 - HW)
+        inside = ((g_r >= 0) & (g_r <= H - 1) & (g_c >= 0)
+                  & (g_c <= W - 1)).astype(jnp.float32)
+        is_top_edge = (g_r == 0).astype(jnp.float32)
+        is_bot_edge = (g_r == H - 1).astype(jnp.float32)
+        is_left_edge = (g_c == 0).astype(jnp.float32)
+        is_right_edge = (g_c == W - 1).astype(jnp.float32)
+        top_pad = g_r < 0
+        bot_pad = g_r > H - 1
+        left_pad = g_c < 0
+        right_pad = g_c > W - 1
+        touches_edge = ((r0 - HALO < 0) | (r0 + TH + HALO > H)
+                        | (c0 - HW < 0) | (c0 + TW + HW > W))
+
+        def shifted(x, dy, dx):
+            rolled = x
+            if dy:
+                rolled = pltpu.roll(rolled, (-dy) % bh, axis=0)
+            if dx:
+                rolled = pltpu.roll(rolled, (-dx) % bw, axis=1)
+            return rolled
+
+        def blur(x):
+            """Separable 5-tap Gaussian: row (width) pass then column pass.
+            Accumulation order matches ops.conv.conv1d term-by-term so the
+            fused kernel is bit-identical to the XLA path.  Rim garbage."""
+            def pass1d(v, dy, dx):
+                acc = taps[0] * shifted(v, -2 * dy, -2 * dx)
+                acc = acc + taps[1] * shifted(v, -dy, -dx)
+                acc = acc + taps[2] * v
+                acc = acc + taps[1] * shifted(v, dy, dx)
+                acc = acc + taps[0] * shifted(v, 2 * dy, 2 * dx)
+                return acc
+            return pass1d(pass1d(x, 0, 1), 1, 0)
+
+        def reclamp(x):
+            def fixed():
+                tv = jnp.sum(x * is_top_edge, axis=0, keepdims=True)
+                bv = jnp.sum(x * is_bot_edge, axis=0, keepdims=True)
+                y = jnp.where(top_pad, tv, x)
+                y = jnp.where(bot_pad, bv, y)
+                lv = jnp.sum(y * is_left_edge, axis=1, keepdims=True)
+                rv = jnp.sum(y * is_right_edge, axis=1, keepdims=True)
+                y = jnp.where(left_pad, lv, y)
+                y = jnp.where(right_pad, rv, y)
+                return y
+            return jax.lax.cond(touches_edge, fixed, lambda: x)
+
+        # Blurred warped energy (clamp boundary), re-clamped so the +-1
+        # shifted denominator read matches clamp addressing exactly.
+        bw2 = [reclamp(blur(wbuf[c] * wbuf[c])) for c in range(3)]
+
+        dirs = []
+        for (dx, dy) in MOVES:
+            acc = None
+            for c in range(3):
+                cross = lbuf[c] * shifted(wbuf[c], dy, dx)
+                cross = cross * inside          # zero-pad boundary
+                bcross = blur(cross)
+                num = bcross * bcross
+                den = bl2_ref[c] * lax_slice_center(
+                    shifted(bw2[c], dy, dx), TH, TW)
+                ratio = num[HALO:HALO + TH, HW:HW + TW] / den
+                ratio = jnp.where(ratio > 1.0, 1.0, ratio)
+                ratio = jnp.where(ratio < 0.0, 0.0, ratio)
+                acc = ratio if acc is None else acc + ratio
+            dirs.append(acc * (1.0 / 3.0))
+        dir_l, dir_r, dir_u, dir_d, dir_c = dirs
+
+        thr = thr_ref[0, 0]
+        inc_h, conf_h = _parabola(dir_l, dir_c, dir_r, thr)
+        inc_v, conf_v = _parabola(dir_u, dir_c, dir_d, thr)
+        conf_new = conf_h * conf_v
+
+        out_ref[0, :, :] = inc_h + disp_ref[0]
+        out_ref[1, :, :] = inc_v + disp_ref[1]
+        blended = 0.75 * conf_new + 0.25 * disp_ref[2]
+        blended = jnp.where(blended > 1.0, 1.0, blended)
+        blended = jnp.where(blended < 0.0, 0.0, blended)
+        out_ref[2, :, :] = jnp.where(replace_ref[0, 0] > 0, conf_new,
+                                     blended)
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((3, TH + 2 * HALO, TW + 2 * HW), jnp.float32),
+        pltpu.VMEM((3, TH + 2 * HALO, TW + 2 * HW), jnp.float32),
+        pltpu.SemaphoreType.DMA,
+    )
+
+
+def lax_slice_center(x, TH, TW):
+    return x[HALO:HALO + TH, HW:HW + TW]
+
+
+def _parabola(l, c, r, thr):
+    """PolyDisparity (MatchLib.cu:790-843), elementwise."""
+    b1 = (r - l) * 0.5
+    c1 = r - (c + b1)
+    has_peak = c1 < 0
+    off = (-b1 * 0.5) / c1
+    off = jnp.minimum(thr, jnp.maximum(off, -thr))
+    cstar = (c1 * off + b1) * off + c
+    over = cstar > 1.0
+    d = cstar - c
+    off_over = jnp.where(d > 1e-10, off * ((1.0 - c) / d), off)
+    conf_in = jnp.where(over, 1.0, 0.3 * cstar + 0.7)
+    off_in = jnp.where(over, off_over, off)
+    offset = jnp.where(has_peak, off_in, 0.0)
+    conf = jnp.where(has_peak, conf_in, 0.4)
+    return offset, conf
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "tile_cols",
+                                             "interpret"))
+def fused_direction_update(left: jnp.ndarray, warped: jnp.ndarray,
+                           blurred_l2: jnp.ndarray, disp: jnp.ndarray,
+                           threshold, replace_conf,
+                           tile_rows: int = 64, tile_cols: int = 512,
+                           interpret: bool = False) -> jnp.ndarray:
+    """One fused correlate->parabola->update step.
+
+    left/warped/blurred_l2: (3, H, W); disp: (3, H, W) state; threshold:
+    scalar clamp; replace_conf: scalar bool-ish (1 on the coarsest level's
+    first iteration -> confidence replaced instead of blended).
+    Returns the updated (3, H, W) state (pre-smoothing)."""
+    _, H, W = left.shape
+    TH = tile_rows
+    TW = min(tile_cols, _ceil_to(W, 128))
+    Hp = _ceil_to(H, TH)
+    Wp = _ceil_to(W, TW)
+    ni, nj = Hp // TH, Wp // TW
+
+    def pad_halo(x):
+        return jnp.pad(x, ((0, 0), (HALO, HALO + (Hp - H)),
+                           (HW, HW + (Wp - W))), mode="edge")
+
+    def pad_tile(x):
+        return jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W)))
+
+    thr = jnp.full((1, 1), threshold, jnp.float32)
+    rep = jnp.full((1, 1), replace_conf, jnp.int32)
+    k = gaussian_kernel()
+    taps = (float(k[0]), float(k[1]), float(k[2]))  # (outer, inner, centre)
+
+    kernel = functools.partial(_direction_kernel, H=H, W=W, TH=TH, TW=TW,
+                               taps=taps, ni=ni, nj=nj)
+    out = pl.pallas_call(
+        kernel,
+        grid=(ni * nj,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # left (padded)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # warped (padded)
+            pl.BlockSpec((3, TH, TW), lambda g: (0, g // nj, g % nj),
+                         memory_space=pltpu.VMEM),  # blurred_l2
+            pl.BlockSpec((3, TH, TW), lambda g: (0, g // nj, g % nj),
+                         memory_space=pltpu.VMEM),  # disp state
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # threshold
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # replace flag
+        ],
+        out_specs=pl.BlockSpec((3, TH, TW), lambda g: (0, g // nj, g % nj),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, Hp, Wp), jnp.float32),
+        interpret=interpret,
+    )(pad_halo(left), pad_halo(warped), pad_tile(blurred_l2),
+      pad_tile(disp), thr, rep)
+    return out[:, :H, :W]
