@@ -1,0 +1,110 @@
+"""Evaluation harness + CLI tests."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from ug_stereomatcher_tpu import eval as ev
+from ug_stereomatcher_tpu.config import MatcherConfig
+from ug_stereomatcher_tpu.engine import StereoEngine
+from ug_stereomatcher_tpu.io.image import save_image
+
+
+class TestEpeMetrics:
+    def test_zero_error(self):
+        d = np.random.RandomState(0).rand(40, 50).astype(np.float32)
+        r = ev.epe_metrics(d, d * 0, d, d * 0, margin=4)
+        assert r.mean_epe == 0.0
+        assert r.bad_0_5 == 0.0
+        assert r.pixels == 32 * 42
+
+    def test_known_offset(self):
+        h = np.zeros((40, 50), np.float32)
+        r = ev.epe_metrics(h + 1.0, h, h, h, margin=4)
+        np.testing.assert_allclose(r.mean_epe, 1.0, rtol=1e-6)
+        assert r.bad_0_5 == 1.0
+        assert r.bad_3_0 == 0.0
+        assert r.mean_abs_h == 1.0 and r.mean_abs_v == 0.0
+
+
+class TestSyntheticScenes:
+    @pytest.mark.parametrize("kind", ["constant", "vertical", "slant", "sine"])
+    def test_scene_shapes(self, kind):
+        left, right, gt_h, gt_v = ev.synthetic_scene(kind, 64, 96,
+                                                     magnitude=3.0)
+        assert left.shape == (64, 96, 3) and right.shape == (64, 96, 3)
+        assert gt_h.shape == (64, 96)
+        assert np.abs(gt_h).max() <= 4.0 and np.abs(gt_v).max() <= 4.0
+
+    def test_zero_disparity_means_identical(self):
+        left, right, gt_h, gt_v = ev.synthetic_scene("constant", 32, 48,
+                                                     magnitude=0.0)
+        np.testing.assert_allclose(right.astype(float), left.astype(float),
+                                   atol=1.0)
+
+    def test_engine_beats_epe_threshold(self):
+        eng = StereoEngine(MatcherConfig())
+        reports = ev.evaluate_engine(eng, height=128, width=160,
+                                     suite=(("constant", 3.0),))
+        r = reports["constant"]
+        # the matcher should recover a constant 3 px shift to subpixel EPE
+        assert r.median_epe < 0.5, r.as_dict()
+        assert r.mean_abs_v < 0.5
+
+
+class TestCli:
+    def _pair(self, tmp_path):
+        left, right, _, _ = ev.synthetic_scene("constant", 64, 96,
+                                               magnitude=2.0)
+        lp = str(tmp_path / "l.png")
+        rp = str(tmp_path / "r.png")
+        save_image(lp, left)
+        save_image(rp, right)
+        return lp, rp
+
+    def _run(self, *argv):
+        from ug_stereomatcher_tpu.cli import main
+        import io
+        from contextlib import redirect_stdout
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = main(list(argv))
+        return rc, buf.getvalue()
+
+    def test_match_command(self, tmp_path):
+        lp, rp = self._pair(tmp_path)
+        out = str(tmp_path / "out")
+        rc, stdout = self._run("match", lp, rp, "-o", out)
+        assert rc == 0
+        payload = json.loads(stdout.strip().splitlines()[-1])
+        assert os.path.exists(payload["outputs"]["H"])
+
+    def test_batch_command(self, tmp_path):
+        lp, rp = self._pair(tmp_path)
+        man = tmp_path / "list.txt"
+        man.write_text(f"{lp}\n{rp}\n")
+        rc, stdout = self._run("batch", str(man), "-o",
+                               str(tmp_path / "bout"))
+        assert rc == 0
+        payload = json.loads(stdout.strip().splitlines()[-1])
+        assert payload["pair"] == 0
+
+    def test_cloud_command(self, tmp_path):
+        cal = "/root/reference/calibrations/calL.xml"
+        if not os.path.exists(cal):
+            pytest.skip("no reference calibration")
+        lp, rp = self._pair(tmp_path)
+        out = str(tmp_path / "c.pcd")
+        rc, stdout = self._run("cloud", lp, rp, "--cal-left", cal,
+                               "--cal-right", cal, "-o", out,
+                               "--sampling", "2")
+        assert rc == 0
+        assert os.path.getsize(out) > 1000
+
+    def test_bad_args(self):
+        with pytest.raises(SystemExit):
+            self._run("match")  # missing positional args

@@ -1,0 +1,161 @@
+"""Command-line interface — the launch-file / rosrun analog.
+
+Replaces the reference's operational entry points (launch/stereo_nodes*.launch
++ `rostopic pub acquire_images ...`) with one CLI:
+
+    python -m ug_stereomatcher_tpu match LEFT RIGHT [-o OUT] [--foveated]
+    python -m ug_stereomatcher_tpu batch MANIFEST [-o OUT] [--foveated]
+        [--cal-left calL.xml --cal-right calR.xml] [--save-clouds]
+    python -m ug_stereomatcher_tpu cloud LEFT RIGHT --cal-left X --cal-right Y
+        [-o cloud.pcd]
+    python -m ug_stereomatcher_tpu bench [--mode mode1|foveated]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_engine_args(p):
+    p.add_argument("--fovea-level", type=int, default=7,
+                   help="pyramid level defining the fovea size (default 7)")
+    p.add_argument("--interp", choices=["nearest", "bilinear"],
+                   default="nearest",
+                   help="resampling (nearest = reference parity)")
+    p.add_argument("--warp-backend", choices=["auto", "xla", "pallas"],
+                   default="auto")
+
+
+def _engine(args):
+    from ug_stereomatcher_tpu import MatcherConfig, StereoEngine
+    cfg = MatcherConfig(fovea_level=args.fovea_level, interp=args.interp,
+                        warp_backend=args.warp_backend)
+    return StereoEngine(cfg)
+
+
+def cmd_match(args) -> int:
+    import numpy as np
+    from ug_stereomatcher_tpu.io.image import load_image
+    from ug_stereomatcher_tpu.io.dumps import (save_disparity_maps,
+                                               save_foveated_stack)
+    eng = _engine(args)
+    left = load_image(args.left)
+    right = load_image(args.right)
+    t0 = time.perf_counter()
+    if args.foveated:
+        res = eng.match_foveated(left, right)
+        np.asarray(res.stack_h)
+        paths = save_foveated_stack(res, args.out)
+    else:
+        res = eng.match(left, right)
+        np.asarray(res.disparity_h)
+        paths = save_disparity_maps(res, args.out)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"seconds": round(dt, 3),
+                      "outputs": paths}))
+    return 0
+
+
+def cmd_batch(args) -> int:
+    from ug_stereomatcher_tpu.geom.calibration import StereoCalibration
+    from ug_stereomatcher_tpu.pipeline import BatchRunner, ImageListCapture
+    calib = None
+    if args.cal_left and args.cal_right:
+        calib = StereoCalibration.from_xml(args.cal_left, args.cal_right)
+    runner = BatchRunner(_engine(args), foveated=args.foveated,
+                         calibration=calib, out_dir=args.out,
+                         save_clouds=args.save_clouds)
+    cap = ImageListCapture(args.manifest,
+                           camera_info_left=args.cal_left,
+                           camera_info_right=args.cal_right)
+    results = runner.run(cap, max_pairs=args.max_pairs)
+    for r in results:
+        print(json.dumps({"pair": r.index,
+                          "seconds": round(r.match_seconds, 3),
+                          "outputs": r.dump_paths}))
+    return 0
+
+
+def cmd_cloud(args) -> int:
+    import numpy as np
+    from ug_stereomatcher_tpu.geom.calibration import StereoCalibration
+    from ug_stereomatcher_tpu.geom.pointcloud import disparity_to_pointcloud
+    from ug_stereomatcher_tpu import native
+    from ug_stereomatcher_tpu.io.image import load_image
+    eng = _engine(args)
+    calib = StereoCalibration.from_xml(args.cal_left, args.cal_right)
+    left = load_image(args.left)
+    right = load_image(args.right)
+    res = eng.match(left, right)
+    cloud = disparity_to_pointcloud(calib, res.disparity_h, res.disparity_v,
+                                    left, sampling=args.sampling)
+    if args.out.endswith(".ply"):
+        native.write_ply(args.out, cloud.xyz, cloud.rgb)
+    else:
+        native.write_pcd(args.out, cloud.xyz, cloud.rgb)
+    print(json.dumps({"points": len(cloud), "output": args.out}))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import os
+    os.environ["BENCH_MODE"] = args.mode
+    if args.height:
+        os.environ["BENCH_H"] = str(args.height)
+    if args.width:
+        os.environ["BENCH_W"] = str(args.width)
+    import bench
+    return bench.main() or 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="ug_stereomatcher_tpu",
+        description="TPU-native dense stereo matcher (two-axis disparity + "
+                    "confidence; full-resolution and foveated modes)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("match", help="match one stereo pair")
+    p.add_argument("left")
+    p.add_argument("right")
+    p.add_argument("-o", "--out", default="out")
+    p.add_argument("--foveated", action="store_true")
+    _add_engine_args(p)
+    p.set_defaults(fn=cmd_match)
+
+    p = sub.add_parser("batch", help="run a stereo-pair manifest")
+    p.add_argument("manifest")
+    p.add_argument("-o", "--out", default="out")
+    p.add_argument("--foveated", action="store_true")
+    p.add_argument("--cal-left")
+    p.add_argument("--cal-right")
+    p.add_argument("--save-clouds", action="store_true")
+    p.add_argument("--max-pairs", type=int, default=None)
+    _add_engine_args(p)
+    p.set_defaults(fn=cmd_batch)
+
+    p = sub.add_parser("cloud", help="stereo pair -> RGB point cloud")
+    p.add_argument("left")
+    p.add_argument("right")
+    p.add_argument("--cal-left", required=True)
+    p.add_argument("--cal-right", required=True)
+    p.add_argument("-o", "--out", default="cloud.pcd")
+    p.add_argument("--sampling", type=int, default=1)
+    _add_engine_args(p)
+    p.set_defaults(fn=cmd_cloud)
+
+    p = sub.add_parser("bench", help="run the standard benchmark")
+    p.add_argument("--mode", choices=["mode1", "foveated"], default="mode1")
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--width", type=int, default=None)
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
