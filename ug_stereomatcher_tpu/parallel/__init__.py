@@ -10,6 +10,10 @@ row all-gather for the disparity-driven warp.
 
 from ug_stereomatcher_tpu.parallel.mesh import make_mesh, mesh_shape_for
 from ug_stereomatcher_tpu.parallel.batch import batch_match
+from ug_stereomatcher_tpu.parallel.throughput import (
+    ThroughputPoint,
+    measure_throughput,
+)
 from ug_stereomatcher_tpu.parallel.spatial import (
     halo_pad_rows,
     sharded_conv_separable,
@@ -21,6 +25,8 @@ __all__ = [
     "make_mesh",
     "mesh_shape_for",
     "batch_match",
+    "ThroughputPoint",
+    "measure_throughput",
     "halo_pad_rows",
     "sharded_conv_separable",
     "sharded_match_level",

@@ -35,7 +35,12 @@ def make_mesh(n_pairs_axis: int = 1, n_rows_axis: Optional[int] = None,
     """Build a ('pairs', 'rows') mesh over the available devices."""
     devices = list(devices if devices is not None else jax.devices())
     if n_rows_axis is None:
-        n_rows_axis = len(devices) // n_pairs_axis
-    use = devices[: n_pairs_axis * n_rows_axis]
-    arr = np.array(use).reshape(n_pairs_axis, n_rows_axis)
+        n_rows_axis = max(1, len(devices) // n_pairs_axis)
+    need = n_pairs_axis * n_rows_axis
+    if len(devices) < need:
+        raise ValueError(
+            f"mesh ({n_pairs_axis} pairs x {n_rows_axis} rows) needs {need} "
+            f"devices but only {len(devices)} are available — on CPU, set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count=N")
+    arr = np.array(devices[:need]).reshape(n_pairs_axis, n_rows_axis)
     return Mesh(arr, axis_names=("pairs", "rows"))

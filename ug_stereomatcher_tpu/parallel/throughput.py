@@ -1,0 +1,76 @@
+"""Throughput / scaling harness.
+
+Measures matched pairs per second for the batched (data-parallel) engine at
+1..N devices — the Glasgow-database throughput configuration of SURVEY.md
+§2.5/§7.  On a real pod slice the mesh spans chips/hosts; in tests it runs
+on the virtual CPU device mesh, validating scaling *efficiency* (the
+collective-free DP path should scale ~linearly).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ug_stereomatcher_tpu.config import MatcherConfig
+from ug_stereomatcher_tpu.parallel.batch import batch_match
+from ug_stereomatcher_tpu.parallel.mesh import make_mesh
+
+
+@dataclasses.dataclass
+class ThroughputPoint:
+    n_devices: int
+    batch: int
+    seconds_per_batch: float
+    pairs_per_second: float
+    scaling_efficiency: float  # vs the 1-device point
+
+
+def measure_throughput(height: int = 192, width: int = 256,
+                       device_counts: Optional[Sequence[int]] = None,
+                       pairs_per_device: int = 1,
+                       cfg: Optional[MatcherConfig] = None,
+                       repeats: int = 3) -> List[ThroughputPoint]:
+    """Run the DP matcher at each device count; returns scaling points."""
+    cfg = cfg or MatcherConfig()
+    devices = jax.devices()
+    if device_counts is None:
+        n = len(devices)
+        device_counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= n]
+    rng = np.random.RandomState(0)
+
+    points: List[ThroughputPoint] = []
+    base_pps = None
+    for nd in device_counts:
+        b = nd * pairs_per_device
+        left = rng.rand(b, 3, height, width).astype(np.float32) * 255
+        right = np.roll(left, 2, axis=-1)
+        mesh = make_mesh(n_pairs_axis=nd, n_rows_axis=1,
+                         devices=devices[:nd])
+        lj, rj = jnp.asarray(left), jnp.asarray(right)
+
+        def run():
+            out = batch_match(lj, rj, cfg, mesh)
+            return float(jnp.sum(out[:, 0]))
+
+        run()  # compile
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            run()
+            times.append(time.perf_counter() - t0)
+        sec = min(times)
+        pps = b / sec
+        if base_pps is None:
+            base_pps = pps / nd  # per-device baseline from the first point
+        eff = pps / (base_pps * nd)
+        points.append(ThroughputPoint(
+            n_devices=nd, batch=b, seconds_per_batch=round(sec, 4),
+            pairs_per_second=round(pps, 3),
+            scaling_efficiency=round(eff, 3)))
+    return points

@@ -13,8 +13,12 @@ from ug_stereomatcher_tpu.pipeline.messages import (
 )
 from ug_stereomatcher_tpu.pipeline.capture import ImageListCapture
 from ug_stereomatcher_tpu.pipeline.runner import BatchRunner, PipelineResult
+from ug_stereomatcher_tpu.pipeline.service import DisparityService
+from ug_stereomatcher_tpu.pipeline.supervisor import EngineSupervisor
 
 __all__ = [
+    "DisparityService",
+    "EngineSupervisor",
     "CamerasSync",
     "StereoFrame",
     "DisparityMessage",

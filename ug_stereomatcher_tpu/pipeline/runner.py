@@ -11,11 +11,12 @@ round-trip per frame).
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 import queue
 import threading
 import time
-from typing import Iterable, List, Optional
+from typing import Iterable, List, Optional, Set
 
 import numpy as np
 
@@ -76,13 +77,42 @@ class BatchRunner:
                  calibration: Optional[StereoCalibration] = None,
                  out_dir: Optional[str] = None,
                  save_clouds: bool = False,
-                 prefetch: bool = True):
+                 prefetch: bool = True,
+                 checkpoint_path: Optional[str] = None):
         self.engine = engine or StereoEngine()
         self.foveated = foveated
         self.calibration = calibration
         self.out_dir = out_dir
         self.save_clouds = save_clouds
         self.prefetch = prefetch
+        # Checkpoint/resume over large databases (the reference pipeline is
+        # stateless per frame and restarts from scratch — SURVEY.md §5):
+        # one JSON line per completed pair; on rerun, completed pairs whose
+        # dump files still exist are skipped.
+        self.checkpoint_path = checkpoint_path
+
+    def _completed(self) -> Set[int]:
+        done: Set[int] = set()
+        if not self.checkpoint_path or not os.path.exists(self.checkpoint_path):
+            return done
+        with open(self.checkpoint_path) as fh:
+            for line in fh:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                paths = rec.get("dump_paths") or {}
+                if all(os.path.exists(p) for p in paths.values()):
+                    done.add(int(rec["index"]))
+        return done
+
+    def _record(self, out: "PipelineResult") -> None:
+        if not self.checkpoint_path:
+            return
+        rec = {"index": out.index, "match_seconds": out.match_seconds,
+               "dump_paths": out.dump_paths, "ts": time.time()}
+        with open(self.checkpoint_path, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
 
     def run(self, capture: ImageListCapture,
             max_pairs: Optional[int] = None) -> List[PipelineResult]:
@@ -91,8 +121,11 @@ class BatchRunner:
             n_pairs = min(n_pairs, max_pairs)
         frames: Iterable = (_Prefetcher(capture, n_pairs) if self.prefetch
                             else (capture.capture() for _ in range(n_pairs)))
+        done = self._completed()
         results = []
         for idx, frame in enumerate(frames):
+            if idx in done:
+                continue
             t0 = time.perf_counter()
             if self.foveated:
                 res = self.engine.match_foveated(frame.left, frame.right)
@@ -117,6 +150,7 @@ class BatchRunner:
                 else:
                     out.dump_paths = save_disparity_maps(
                         res, self.out_dir, prefix=f"pair{idx}")
+            self._record(out)
             results.append(out)
         return results
 
