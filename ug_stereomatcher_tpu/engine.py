@@ -98,6 +98,16 @@ def _check_pair(left: jnp.ndarray, right: jnp.ndarray) -> None:
             f"{right.shape} — both images must have identical dimensions")
 
 
+def _check_fovea(cfg: MatcherConfig, height: int, width: int) -> None:
+    n = cfg.num_levels(height, width)
+    if n < cfg.fovea_level:
+        fh, fw = cfg.fovea_dims(height, width)
+        raise ValueError(
+            f"image {height}x{width} supports only {n} pyramid levels but "
+            f"fovea_level={cfg.fovea_level} (fovea would be {fh}x{fw}); use "
+            f"a larger image or MatcherConfig(fovea_level<={n})")
+
+
 class StereoEngine:
     """Long-lived stereo matching engine with per-shape jit caching."""
 
@@ -157,6 +167,7 @@ class StereoEngine:
         right = _to_chw(right, self._dtype())
         _check_pair(left, right)
         h, w = left.shape[-2:]
+        _check_fovea(cfg, h, w)
         fov_h, fov_w = cfg.fovea_dims(h, w)
         fn = self._jitted(("fov", h, w, cfg), lambda: jax.jit(
             partial(self._match_foveated_impl, height=h, width=w)))
@@ -200,6 +211,7 @@ class StereoEngine:
         right = _to_chw(right, self._dtype())
         _check_pair(left, right)
         h, w = left.shape[-2:]
+        _check_fovea(cfg, h, w)
         fn = self._jitted(("hier", h, w, cfg), lambda: jax.jit(
             partial(self._match_hierarchical_impl, height=h, width=w)))
         trip = fn(left, right)

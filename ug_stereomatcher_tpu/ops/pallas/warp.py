@@ -74,6 +74,9 @@ def _warp_kernel(imgp_ref, dh_ref, dv_ref, out_ref, *, H, W, Wp, TH, VH,
             lo = jnp.maximum(c0 - HBLK * LANES, 0)
             hi = jnp.minimum(c0 + HBLK * LANES, Wp - LANES)
             acc = jnp.zeros((TH, LANES), jnp.float32)
+            # NOTE: predicating candidate passes on jnp.any(hit) was tried
+            # and reverted — escaping the register accumulator into a VMEM
+            # read-modify-write per pass cost more than the skipped work.
             for kk in range(-VH, VH + 1):
                 for s in range(-HBLK, HBLK + 1):
                     s0 = pl.multiple_of(jnp.clip(c0 + s * LANES, lo, hi),

@@ -1,0 +1,62 @@
+"""Multi-host initialisation and pod-slice mesh construction.
+
+The DCN tier of SURVEY.md §5: pair-batches shard across hosts over DCN
+while row tiles ride ICI within each host's chips.  This wraps
+``jax.distributed.initialize`` (which bootstraps the JAX distributed
+runtime over the coordinator address) and builds the (pairs, rows) mesh
+with the pairs axis spanning processes — so the embarrassingly-parallel
+batch dimension crosses DCN and the halo-exchange axis stays on ICI.
+
+Single-process environments (tests, one-chip rigs) pass through untouched.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> bool:
+    """Bootstrap the JAX distributed runtime if configured.
+
+    Reads JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID when
+    arguments are omitted.  Returns True if multi-process mode is active."""
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if not coordinator_address:
+        return False
+    kw = {}
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if num_processes is not None:
+        kw["num_processes"] = num_processes
+    if process_id is not None:
+        kw["process_id"] = process_id
+    jax.distributed.initialize(coordinator_address, **kw)
+    return jax.process_count() > 1
+
+
+def pod_mesh(rows_per_host: Optional[int] = None) -> Mesh:
+    """Build a ('pairs', 'rows') mesh for the current (possibly multi-host)
+    topology: the rows axis spans each host's local chips (ICI), the pairs
+    axis spans hosts (DCN) x any leftover local factor."""
+    devices = jax.devices()
+    n_local = jax.local_device_count()
+    n_total = len(devices)
+    n_hosts = max(1, n_total // max(1, n_local))
+    if rows_per_host is None:
+        rows_per_host = n_local
+    rows_per_host = max(1, min(rows_per_host, n_local))
+    pairs = n_total // rows_per_host
+    # order devices host-major so the rows axis is ICI-contiguous
+    arr = np.array(devices).reshape(n_hosts, n_local)
+    arr = arr.reshape(n_hosts * (n_local // rows_per_host), rows_per_host)
+    return Mesh(arr[:pairs], axis_names=("pairs", "rows"))
