@@ -1,0 +1,104 @@
+"""Pallas kernel parity tests (interpreter mode, CPU).
+
+The fused TPU kernels claim (windowed-)exact equivalence with their XLA
+twins; these tests enforce it in CI via interpret=True so drift — like a
+hard-coded constant diverging from MatcherConfig — is caught without TPU
+hardware.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ug_stereomatcher_tpu import ops
+from ug_stereomatcher_tpu import match as match_mod
+from ug_stereomatcher_tpu.ops.pallas.direction import fused_direction_update
+from ug_stereomatcher_tpu.ops.pallas.smooth import fused_smooth_average
+from ug_stereomatcher_tpu.ops.pallas.warp import warp_nearest_windowed
+from ug_stereomatcher_tpu.ops.pointwise import blend_confidence, parabola_fit
+
+RNG = np.random.RandomState(0)
+
+
+class TestWarpKernel:
+    def test_in_window_exact(self):
+        h, w = 40, 160
+        img = jnp.asarray(RNG.rand(3, h, w).astype(np.float32))
+        dh = jnp.asarray((RNG.rand(h, w).astype(np.float32) - 0.5) * 40)
+        dv = jnp.asarray((RNG.rand(h, w).astype(np.float32) - 0.5) * 6)
+        ref = np.asarray(ops.warp_by_disparity(img, dh, dv))
+        out = np.asarray(warp_nearest_windowed(img, dh, dv, max_dy=4,
+                                               max_dx=128, tile_rows=8,
+                                               interpret=True))
+        np.testing.assert_array_equal(out, ref)
+
+    def test_out_of_window_clamps_not_zero(self):
+        """Out-of-window offsets must clamp to the window edge (the
+        documented contract) — not fall through to zeros."""
+        h, w = 16, 512
+        img = jnp.asarray(RNG.rand(h, w).astype(np.float32) + 1.0)  # no 0s
+        dh = jnp.full((h, w), -400.0, jnp.float32)  # far beyond +-128 window
+        dv = jnp.zeros((h, w), jnp.float32)
+        out = np.asarray(warp_nearest_windowed(img, dh, dv, max_dy=4,
+                                               max_dx=128, tile_rows=8,
+                                               interpret=True))
+        assert np.all(out >= 1.0), "zero fill leaked through the window"
+
+    def test_2d_and_3d_inputs(self):
+        h, w = 24, 128
+        img = jnp.asarray(RNG.rand(h, w).astype(np.float32))
+        z = jnp.zeros((h, w), jnp.float32)
+        out = np.asarray(warp_nearest_windowed(img, z, z, max_dy=4,
+                                               max_dx=128, tile_rows=8,
+                                               interpret=True))
+        np.testing.assert_array_equal(out, np.asarray(img))
+
+
+class TestSmoothKernel:
+    @pytest.mark.parametrize("n", [1, 5])
+    def test_matches_xla_chain(self, n):
+        h, w = 40, 150
+        st = jnp.asarray(RNG.rand(3, h, w).astype(np.float32) + 0.05)
+        ref = st
+        for _ in range(n):
+            ref = ops.weighted_smooth(ref, ref[2])
+        ref = np.asarray(ops.blur_average_clamp(ref))
+        out = np.asarray(fused_smooth_average(st, n_passes=n, tile_rows=16,
+                                              tile_cols=128, interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def test_halo_limit_guarded(self):
+        st = jnp.ones((3, 16, 32), jnp.float32)
+        with pytest.raises(ValueError):
+            fused_smooth_average(st, n_passes=80, interpret=True)
+
+
+class TestDirectionKernel:
+    def test_matches_xla_chain_with_custom_config_constants(self):
+        """Exercises the full correlate->parabola->update chain INCLUDING
+        non-default confidence constants (guards against hard-coded
+        literals drifting from MatcherConfig)."""
+        h, w = 36, 140
+        left = jnp.asarray(RNG.rand(3, h, w).astype(np.float32) * 255)
+        warped = jnp.asarray(RNG.rand(3, h, w).astype(np.float32) * 255)
+        bl2 = ops.blur_gaussian_clamp(left * left)
+        disp = jnp.asarray((RNG.rand(3, h, w).astype(np.float32) - 0.5))
+        consts = (0.3, 0.2, 0.8, 0.9, 0.1)  # non-default on purpose
+        no_peak, aff_s, aff_b, w_new, w_old = consts
+        for thr, rep in ((1.0, 0), (0.55, 1)):
+            dirs = match_mod.direction_maps(left, warped, bl2)
+            ih, ch = parabola_fit(dirs[0], dirs[4], dirs[1], thr,
+                                  no_peak, aff_s, aff_b)
+            iv, cv = parabola_fit(dirs[2], dirs[4], dirs[3], thr,
+                                  no_peak, aff_s, aff_b)
+            cn = ch * cv
+            blend = blend_confidence(cn, disp[2], w_new, w_old)
+            ref = np.asarray(jnp.stack([
+                ih + disp[0], iv + disp[1],
+                jnp.where(rep > 0, cn, blend)]))
+            out = np.asarray(fused_direction_update(
+                left, warped, bl2, disp, thr, rep, tile_rows=16,
+                tile_cols=128, consts=consts, interpret=True))
+            np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)

@@ -229,6 +229,23 @@ class StereoEngine:
         return pyr.hierarchical_disparity(res.levels, cfg, (height, width))
 
     # ------------------------------------------------------------------
+    def match_with_consistency(self, left, right, tau: float = 1.0):
+        """Bidirectional match + left-right consistency validation.
+
+        Runs the matcher both ways (the backward pass swaps the images) and
+        cross-checks the fields; returns (MatchResult for left->right,
+        consistency mask (H, W) bool, LR error (H, W)).  Not in the
+        reference — a production validity layer over its algorithm."""
+        from ug_stereomatcher_tpu.ops.consistency import lr_consistency_mask
+        fwd = self.match(left, right)
+        bwd = self.match(right, left)
+        mask, err = lr_consistency_mask(
+            fwd.disparity_h, fwd.disparity_v,
+            bwd.disparity_h, bwd.disparity_v,
+            tau=tau, method=self.config.interp)
+        return fwd, mask, err
+
+    # ------------------------------------------------------------------
     def get_disparities(self, left, right, foveated: bool = False):
         """Synchronous service-style entry point — the GetDisparitiesGPU
         service analog (srv/GetDisparitiesGPU.srv; UG_GPU_matcher.cpp:497).

@@ -141,13 +141,20 @@ def match_level(left: jnp.ndarray, right: jnp.ndarray, disp: jnp.ndarray,
             replace = (m == 0) if is_coarsest else jnp.int32(0)
             state = fused_direction_update(
                 left, warped, blurred_l2,
-                jnp.stack([disp_h, disp_v, conf]), threshold, replace)
+                jnp.stack([disp_h, disp_v, conf]), threshold, replace,
+                consts=(cfg.conf_no_peak, cfg.conf_affine_scale,
+                        cfg.conf_affine_bias, cfg.conf_blend_new,
+                        cfg.conf_blend_old))
         else:
             dir_l, dir_r, dir_u, dir_d, dir_c = direction_maps(
                 left, warped, blurred_l2)
 
-            inc_h, conf_h = parabola_fit(dir_l, dir_c, dir_r, threshold)
-            inc_v, conf_v = parabola_fit(dir_u, dir_c, dir_d, threshold)
+            inc_h, conf_h = parabola_fit(
+                dir_l, dir_c, dir_r, threshold, cfg.conf_no_peak,
+                cfg.conf_affine_scale, cfg.conf_affine_bias)
+            inc_v, conf_v = parabola_fit(
+                dir_u, dir_c, dir_d, threshold, cfg.conf_no_peak,
+                cfg.conf_affine_scale, cfg.conf_affine_bias)
             conf_new = conf_h * conf_v  # compCorrelation (MatchLib.cu:884)
 
             disp_h = inc_h + disp_h  # step scaling is int(1.0)=1

@@ -35,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ug_stereomatcher_tpu.config import gaussian_kernel
+from ug_stereomatcher_tpu.ops.pointwise import blend_confidence, parabola_fit
 
 HW = 64   # horizontal halo (DMA-alignment driven; compute uses <= 4)
 HALO = 4  # vertical halo (blur radius 2 + shift 1, rounded to 4)
@@ -47,7 +48,8 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _direction_kernel(left_ref, warped_ref, bl2_ref, disp_ref, thr_ref,
-                      replace_ref, out_ref, *, H, W, TH, TW, taps, ni, nj):
+                      replace_ref, out_ref, *, H, W, TH, TW, taps, ni, nj,
+                      consts):
     g = pl.program_id(0)
     i = g // nj
     j = g % nj
@@ -142,15 +144,16 @@ def _direction_kernel(left_ref, warped_ref, bl2_ref, disp_ref, thr_ref,
         dir_l, dir_r, dir_u, dir_d, dir_c = dirs
 
         thr = thr_ref[0, 0]
-        inc_h, conf_h = _parabola(dir_l, dir_c, dir_r, thr)
-        inc_v, conf_v = _parabola(dir_u, dir_c, dir_d, thr)
+        no_peak, aff_scale, aff_bias, w_new, w_old = consts
+        inc_h, conf_h = parabola_fit(dir_l, dir_c, dir_r, thr,
+                                     no_peak, aff_scale, aff_bias)
+        inc_v, conf_v = parabola_fit(dir_u, dir_c, dir_d, thr,
+                                     no_peak, aff_scale, aff_bias)
         conf_new = conf_h * conf_v
 
         out_ref[0, :, :] = inc_h + disp_ref[0]
         out_ref[1, :, :] = inc_v + disp_ref[1]
-        blended = 0.75 * conf_new + 0.25 * disp_ref[2]
-        blended = jnp.where(blended > 1.0, 1.0, blended)
-        blended = jnp.where(blended < 0.0, 0.0, blended)
+        blended = blend_confidence(conf_new, disp_ref[2], w_new, w_old)
         out_ref[2, :, :] = jnp.where(replace_ref[0, 0] > 0, conf_new,
                                      blended)
 
@@ -166,36 +169,21 @@ def lax_slice_center(x, TH, TW):
     return x[HALO:HALO + TH, HW:HW + TW]
 
 
-def _parabola(l, c, r, thr):
-    """PolyDisparity (MatchLib.cu:790-843), elementwise."""
-    b1 = (r - l) * 0.5
-    c1 = r - (c + b1)
-    has_peak = c1 < 0
-    off = (-b1 * 0.5) / c1
-    off = jnp.minimum(thr, jnp.maximum(off, -thr))
-    cstar = (c1 * off + b1) * off + c
-    over = cstar > 1.0
-    d = cstar - c
-    off_over = jnp.where(d > 1e-10, off * ((1.0 - c) / d), off)
-    conf_in = jnp.where(over, 1.0, 0.3 * cstar + 0.7)
-    off_in = jnp.where(over, off_over, off)
-    offset = jnp.where(has_peak, off_in, 0.0)
-    conf = jnp.where(has_peak, conf_in, 0.4)
-    return offset, conf
-
-
 @functools.partial(jax.jit, static_argnames=("tile_rows", "tile_cols",
-                                             "interpret"))
+                                             "interpret", "consts"))
 def fused_direction_update(left: jnp.ndarray, warped: jnp.ndarray,
                            blurred_l2: jnp.ndarray, disp: jnp.ndarray,
                            threshold, replace_conf,
                            tile_rows: int = 64, tile_cols: int = 512,
+                           consts=(0.4, 0.3, 0.7, 0.75, 0.25),
                            interpret: bool = False) -> jnp.ndarray:
     """One fused correlate->parabola->update step.
 
     left/warped/blurred_l2: (3, H, W); disp: (3, H, W) state; threshold:
     scalar clamp; replace_conf: scalar bool-ish (1 on the coarsest level's
-    first iteration -> confidence replaced instead of blended).
+    first iteration -> confidence replaced instead of blended); consts:
+    (conf_no_peak, conf_affine_scale, conf_affine_bias, conf_blend_new,
+    conf_blend_old) from MatcherConfig.
     Returns the updated (3, H, W) state (pre-smoothing)."""
     _, H, W = left.shape
     TH = tile_rows
@@ -217,13 +205,13 @@ def fused_direction_update(left: jnp.ndarray, warped: jnp.ndarray,
     taps = (float(k[0]), float(k[1]), float(k[2]))  # (outer, inner, centre)
 
     kernel = functools.partial(_direction_kernel, H=H, W=W, TH=TH, TW=TW,
-                               taps=taps, ni=ni, nj=nj)
+                               taps=taps, ni=ni, nj=nj, consts=consts)
     out = pl.pallas_call(
         kernel,
         grid=(ni * nj,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # left (padded)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # warped (padded)
+            pl.BlockSpec(memory_space=pl.ANY),   # left (padded)
+            pl.BlockSpec(memory_space=pl.ANY),   # warped (padded)
             pl.BlockSpec((3, TH, TW), lambda g: (0, g // nj, g % nj),
                          memory_space=pltpu.VMEM),  # blurred_l2
             pl.BlockSpec((3, TH, TW), lambda g: (0, g // nj, g % nj),

@@ -158,6 +158,10 @@ def fused_smooth_average(state: jnp.ndarray, n_passes: int,
     to a (3, H, W) [disp_h, disp_v, conf] stack in one fused kernel."""
     _, H, W = state.shape
     HALO = _ceil_to(n_passes + 1, 4)   # keep DMA slice height 8-aligned
+    if HALO > HW:
+        raise ValueError(
+            f"n_passes={n_passes} needs a {HALO}-wide halo but the fixed "
+            f"horizontal halo is {HW}; use the unfused smoothing chain")
     TH = tile_rows
     TW = min(tile_cols, _ceil_to(W, 128))
     Hp = _ceil_to(H, TH)
@@ -171,7 +175,7 @@ def fused_smooth_average(state: jnp.ndarray, n_passes: int,
     out = pl.pallas_call(
         kernel,
         grid=(ni * nj,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((3, TH, TW),
                                lambda g: (0, g // nj, g % nj),
                                memory_space=pltpu.VMEM),

@@ -73,6 +73,11 @@ def _warp_kernel(imgp_ref, dh_ref, dv_ref, out_ref, *, H, W, Wp, TH, VH,
             kb = jnp.clip(iyb - (r0 + rloc), -VH, VH)
             lo = jnp.maximum(c0 - HBLK * LANES, 0)
             hi = jnp.minimum(c0 + HBLK * LANES, Wp - LANES)
+            # clamp the horizontal read into the reachable window so every
+            # pixel hits exactly one (kk, s) candidate — offsets beyond the
+            # window clamp to its edge (the documented contract), instead
+            # of falling through to the zero init
+            ixb = jnp.clip(ixb, lo, hi + LANES - 1)
             acc = jnp.zeros((TH, LANES), jnp.float32)
             # NOTE: predicating candidate passes on jnp.any(hit) was tried
             # and reverted — escaping the register accumulator into a VMEM
@@ -128,7 +133,7 @@ def warp_nearest_windowed(img: jnp.ndarray, disp_x: jnp.ndarray,
         kernel,
         grid=(C, Hp // TH),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((TH, Wp), lambda c, i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TH, Wp), lambda c, i: (i, 0),

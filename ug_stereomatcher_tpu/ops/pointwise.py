@@ -28,7 +28,11 @@ def correlation_ratio(blurred_cross: jnp.ndarray, blurred_l2: jnp.ndarray,
 
 
 def parabola_fit(corr_minus: jnp.ndarray, corr_centre: jnp.ndarray,
-                 corr_plus: jnp.ndarray, threshold) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 corr_plus: jnp.ndarray, threshold,
+                 conf_no_peak: float = 0.4,
+                 conf_affine_scale: float = 0.3,
+                 conf_affine_bias: float = 0.7
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """3-point parabola subpixel fit over (corr_-, corr_0, corr_+).
 
     Reproduces PolyDisparity (MatchLib.cu:790-843):
@@ -54,11 +58,12 @@ def parabola_fit(corr_minus: jnp.ndarray, corr_centre: jnp.ndarray,
     over = cstar > 1.0
     d = cstar - c
     off_over = jnp.where(d > 1e-10, off * ((1.0 - c) / d), off)
-    conf_in = jnp.where(over, 1.0, 0.3 * cstar + 0.7)
+    conf_in = jnp.where(over, 1.0,
+                        conf_affine_scale * cstar + conf_affine_bias)
     off_in = jnp.where(over, off_over, off)
 
     offset = jnp.where(has_peak, off_in, 0.0)
-    conf = jnp.where(has_peak, conf_in, 0.4)
+    conf = jnp.where(has_peak, conf_in, conf_no_peak)
     return offset, conf
 
 

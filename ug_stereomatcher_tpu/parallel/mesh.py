@@ -25,7 +25,9 @@ def mesh_shape_for(n_devices: int, n_pairs: Optional[int] = None
             continue
         r = n_devices // p
         if n_pairs is not None and p > n_pairs:
-            continue
+            break
+        if p > r:  # keep rows >= pairs (square-ish, rows gets the larger)
+            break
         best = (p, r)
     return best
 

@@ -55,6 +55,8 @@ def pod_mesh(rows_per_host: Optional[int] = None) -> Mesh:
     if rows_per_host is None:
         rows_per_host = n_local
     rows_per_host = max(1, min(rows_per_host, n_local))
+    while n_local % rows_per_host:  # must divide the local device count
+        rows_per_host -= 1
     pairs = n_total // rows_per_host
     # order devices host-major so the rows axis is ICI-contiguous
     arr = np.array(devices).reshape(n_hosts, n_local)

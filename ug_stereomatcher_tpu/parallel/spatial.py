@@ -227,8 +227,12 @@ def _level_body(left, right, disp0, *, cfg: MatcherConfig, level_index: int,
             dirs.append(jnp.mean(corr, axis=0))
         dir_l, dir_r, dir_u, dir_d, dir_c = dirs
 
-        inc_h, conf_h = parabola_fit(dir_l, dir_c, dir_r, threshold)
-        inc_v, conf_v = parabola_fit(dir_u, dir_c, dir_d, threshold)
+        inc_h, conf_h = parabola_fit(
+            dir_l, dir_c, dir_r, threshold, cfg.conf_no_peak,
+            cfg.conf_affine_scale, cfg.conf_affine_bias)
+        inc_v, conf_v = parabola_fit(
+            dir_u, dir_c, dir_d, threshold, cfg.conf_no_peak,
+            cfg.conf_affine_scale, cfg.conf_affine_bias)
         conf_new = conf_h * conf_v
 
         disp_h = inc_h + disp_h
@@ -268,6 +272,15 @@ def sharded_match_level(left: jnp.ndarray, right: jnp.ndarray,
     true_h, w = left.shape[-2], left.shape[-1]
     hl = -(-true_h // n)
     pad = hl * n - true_h
+    if pad >= hl:
+        # _refresh_pad assumes all pad rows live in the last shard (its
+        # clamp fill reads the true edge row locally); with pad >= hl the
+        # padding would span multiple shards and silently corrupt clamp
+        # boundaries.  Needs true_h > hl * (n - 1).
+        raise ValueError(
+            f"cannot row-shard H={true_h} over {n} shards exactly "
+            f"(padding {pad} >= local rows {hl}); use fewer shards or the "
+            f"unsharded match_level")
 
     def pad_rows(x):
         if pad == 0:
@@ -307,7 +320,10 @@ def sharded_match_pair(left: jnp.ndarray, right: jnp.ndarray,
     disp = jnp.zeros((3, hh, ww), dtype=left.dtype)
     for i in range(n - 1, -1, -1):
         is_coarsest = i == n - 1
-        if dims[i][0] >= min_rows_per_shard * n_shards and n_shards > 1:
+        hl = -(-dims[i][0] // n_shards)
+        shardable = (hl * n_shards - dims[i][0]) < hl
+        if (shardable and n_shards > 1
+                and dims[i][0] >= min_rows_per_shard * n_shards):
             disp = sharded_match_level(lp[i], rp[i], disp, i, cfg,
                                        is_coarsest, mesh, axis_name)
         else:

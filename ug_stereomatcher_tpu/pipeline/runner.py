@@ -102,7 +102,9 @@ class BatchRunner:
                 except json.JSONDecodeError:
                     continue
                 paths = rec.get("dump_paths") or {}
-                if all(os.path.exists(p) for p in paths.values()):
+                # without persisted dumps there is nothing to resume from —
+                # the pair must be recomputed so the caller gets results
+                if paths and all(os.path.exists(p) for p in paths.values()):
                     done.add(int(rec["index"]))
         return done
 
