@@ -229,6 +229,36 @@ class StereoEngine:
         return pyr.hierarchical_disparity(res.levels, cfg, (height, width))
 
     # ------------------------------------------------------------------
+    def match_batch(self, left_batch, right_batch, mesh=None) -> MatchResult:
+        """Match a batch of pairs at once (vmapped, optionally sharded over
+        a mesh's 'pairs' axis — see parallel.batch_match).  Inputs:
+        (B, H, W, 3) or (B, 3, H, W); returns a MatchResult whose planes
+        carry a leading batch axis."""
+        from ug_stereomatcher_tpu.parallel.batch import batch_match
+        lb = jnp.asarray(left_batch)
+        rb = jnp.asarray(right_batch)
+        if lb.ndim != 4:
+            raise ValueError(f"expected a 4-D batch, got {lb.shape}")
+        if lb.shape[1] != 3 and lb.shape[-1] == 3:
+            lb = jnp.moveaxis(lb, -1, 1)
+            rb = jnp.moveaxis(rb, -1, 1)
+        if lb.shape != rb.shape:
+            raise ValueError(
+                f"batch shapes differ: {lb.shape} vs {rb.shape}")
+        out = batch_match(lb.astype(self._dtype()), rb.astype(self._dtype()),
+                          self.config, mesh)
+        return MatchResult(out[:, 0], out[:, 1], out[:, 2])
+
+    def warmup(self, height: int, width: int, foveated: bool = False) -> None:
+        """Pre-compile the pipeline for a given image size (first compiles
+        on some backends take minutes; call this before serving)."""
+        z = jnp.zeros((3, height, width), self._dtype())
+        if foveated:
+            self.match_foveated(z, z)
+        else:
+            self.match(z, z)
+
+    # ------------------------------------------------------------------
     def match_with_consistency(self, left, right, tau: float = 1.0):
         """Bidirectional match + left-right consistency validation.
 
