@@ -37,25 +37,41 @@ def _engine(args):
 
 
 def cmd_match(args) -> int:
+    import os
+
     import numpy as np
-    from ug_stereomatcher_tpu.io.image import load_image
+    from ug_stereomatcher_tpu.io.image import load_image, save_image
     from ug_stereomatcher_tpu.io.dumps import (save_disparity_maps,
                                                save_foveated_stack)
     eng = _engine(args)
     left = load_image(args.left)
     right = load_image(args.right)
     t0 = time.perf_counter()
+    extra = {}
     if args.foveated:
         res = eng.match_foveated(left, right)
         np.asarray(res.stack_h)
         paths = save_foveated_stack(res, args.out)
+    elif args.consistency:
+        res, mask, err = eng.match_with_consistency(left, right,
+                                                    tau=args.tau)
+        paths = save_disparity_maps(res, args.out)
+        os.makedirs(args.out, exist_ok=True)
+        mpath = os.path.join(args.out, "consistency_mask.npy")
+        np.save(mpath, np.asarray(mask))
+        paths["mask"] = mpath
+        extra["consistent_fraction"] = round(float(np.asarray(mask).mean()), 4)
     else:
         res = eng.match(left, right)
         np.asarray(res.disparity_h)
         paths = save_disparity_maps(res, args.out)
+    if args.panel and not args.foveated:
+        from ug_stereomatcher_tpu.io.viz import render_panel
+        os.makedirs(args.out, exist_ok=True)
+        paths["panel"] = render_panel(
+            res, os.path.join(args.out, "panel.png"))
     dt = time.perf_counter() - t0
-    print(json.dumps({"seconds": round(dt, 3),
-                      "outputs": paths}))
+    print(json.dumps({"seconds": round(dt, 3), "outputs": paths, **extra}))
     return 0
 
 
@@ -123,6 +139,12 @@ def main(argv=None) -> int:
     p.add_argument("right")
     p.add_argument("-o", "--out", default="out")
     p.add_argument("--foveated", action="store_true")
+    p.add_argument("--consistency", action="store_true",
+                   help="also run right->left and write an LR validity mask")
+    p.add_argument("--tau", type=float, default=1.0,
+                   help="LR consistency threshold in pixels")
+    p.add_argument("--panel", action="store_true",
+                   help="write a colorized H|V|C panel PNG")
     _add_engine_args(p)
     p.set_defaults(fn=cmd_match)
 
