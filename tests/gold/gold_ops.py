@@ -199,6 +199,19 @@ def blend_confidence(new, old):
     return np.clip(out, 0.0, 1.0)
 
 
+def weighted_difference(disp_new, disp_old, conf):
+    """weightedDifference gold (MatchGPULib.cpp:1336-1437): confidence-
+    weighted mean absolute difference between successive estimates."""
+    num = 0.0
+    den = 0.0
+    h, w = disp_new.shape
+    for iy in range(h):
+        for ix in range(w):
+            num += abs(disp_new[iy, ix] - disp_old[iy, ix]) * conf[iy, ix]
+            den += conf[iy, ix]
+    return num / den
+
+
 def weighted_smooth(disp, conf):
     """smoothKernel gold (MatchLib.cu:1092-1145): plus-stencil weighted mean,
     skipping ix==0 / iy==0 (those pixels keep their input values)."""

@@ -16,12 +16,12 @@ from ug_stereomatcher_tpu.geom.undistort import (
 
 class TestConvergence:
     def test_weighted_difference_scalar_gold(self):
+        from tests.gold import gold_ops as g
         rng = np.random.RandomState(0)
         new = rng.rand(9, 11).astype(np.float32)
         old = rng.rand(9, 11).astype(np.float32)
         conf = rng.rand(9, 11).astype(np.float32)
-        # scalar gold model (weightedDifference, MatchGPULib.cpp:1336)
-        gold = (np.abs(new - old) * conf).sum() / conf.sum()
+        gold = g.weighted_difference(new, old, conf)
         ours = float(weighted_difference(jnp.asarray(new), jnp.asarray(old),
                                          jnp.asarray(conf)))
         np.testing.assert_allclose(ours, gold, rtol=1e-6)

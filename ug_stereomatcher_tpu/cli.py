@@ -40,9 +40,14 @@ def cmd_match(args) -> int:
     import os
 
     import numpy as np
-    from ug_stereomatcher_tpu.io.image import load_image, save_image
+    from ug_stereomatcher_tpu.io.image import load_image
     from ug_stereomatcher_tpu.io.dumps import (save_disparity_maps,
                                                save_foveated_stack)
+    if args.foveated and (args.consistency or args.panel):
+        print("error: --consistency/--panel apply to full-resolution "
+              "matching and cannot be combined with --foveated",
+              file=sys.stderr)
+        return 2
     eng = _engine(args)
     left = load_image(args.left)
     right = load_image(args.right)

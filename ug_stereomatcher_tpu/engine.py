@@ -234,7 +234,7 @@ class StereoEngine:
         a mesh's 'pairs' axis — see parallel.batch_match).  Inputs:
         (B, H, W, 3) or (B, 3, H, W); returns a MatchResult whose planes
         carry a leading batch axis."""
-        from ug_stereomatcher_tpu.parallel.batch import batch_match
+        from ug_stereomatcher_tpu.parallel.batch import make_batch_matcher
         lb = jnp.asarray(left_batch)
         rb = jnp.asarray(right_batch)
         if lb.ndim != 4:
@@ -242,11 +242,24 @@ class StereoEngine:
         if lb.shape[1] != 3 and lb.shape[-1] == 3:
             lb = jnp.moveaxis(lb, -1, 1)
             rb = jnp.moveaxis(rb, -1, 1)
+        if lb.shape[1] != 3:
+            raise ValueError(
+                f"expected RGB batches (B,3,H,W) or (B,H,W,3), got {lb.shape}")
         if lb.shape != rb.shape:
             raise ValueError(
                 f"batch shapes differ: {lb.shape} vs {rb.shape}")
-        out = batch_match(lb.astype(self._dtype()), rb.astype(self._dtype()),
-                          self.config, mesh)
+        lb = lb.astype(self._dtype())
+        rb = rb.astype(self._dtype())
+        # cache the jitted batch pipeline per (shape, mesh) like the other
+        # entry points — re-tracing 14 pyramid levels per call costs minutes
+        # on cold backends
+        mesh_key = (tuple(mesh.shape.items()),
+                    tuple(d.id for d in mesh.devices.flat)) if mesh else None
+        fn = self._jitted(
+            ("batch", lb.shape, self.config, mesh_key),
+            lambda: make_batch_matcher(self.config, lb.shape[-2],
+                                       lb.shape[-1], mesh))
+        out = fn(lb, rb)
         return MatchResult(out[:, 0], out[:, 1], out[:, 2])
 
     def warmup(self, height: int, width: int, foveated: bool = False) -> None:

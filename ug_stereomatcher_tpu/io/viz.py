@@ -32,13 +32,19 @@ def colorize_disparity(disp, vmin: Optional[float] = None,
                        vmax: Optional[float] = None) -> np.ndarray:
     """Signed disparity -> (H, W, 3) uint8, blue (negative) / white (zero)
     / red (positive) diverging map.  Default range is symmetric around 0
-    at the 98th percentile of |disp|."""
+    at the 98th percentile of |disp|; a single supplied bound mirrors into
+    the other.  Non-finite pixels (e.g. consistency-masked NaNs) render as
+    neutral mid-gray, not as extreme disparity."""
     d = np.asarray(disp, dtype=np.float64)
-    if vmin is None or vmax is None:
-        finite = np.isfinite(d)
+    finite = np.isfinite(d)
+    if vmin is None and vmax is None:
         m = float(np.percentile(np.abs(d[finite]), 98)) if finite.any() else 1.0
         m = max(m, 1e-6)
         vmin, vmax = -m, m
+    elif vmin is None:
+        vmin = -abs(vmax)
+    elif vmax is None:
+        vmax = abs(vmin)
     t = _normalize(d, vmin, vmax) * 2.0 - 1.0   # [-1, 1]
     r = np.clip(1.0 + np.minimum(t, 0.0), 0.0, 1.0)
     b = np.clip(1.0 - np.maximum(t, 0.0), 0.0, 1.0)
@@ -46,6 +52,7 @@ def colorize_disparity(disp, vmin: Optional[float] = None,
     rgb = np.stack([np.where(t >= 0, 1.0, r),
                     g,
                     np.where(t <= 0, 1.0, b)], axis=-1)
+    rgb[~finite] = 0.5
     return (rgb * 255).astype(np.uint8)
 
 

@@ -29,19 +29,28 @@ def _single_pair(left, right, cfg: MatcherConfig, height: int, width: int):
     return res.levels[0]
 
 
+def make_batch_matcher(cfg: MatcherConfig, height: int, width: int,
+                       mesh: Optional[Mesh] = None):
+    """Build a reusable jitted batch matcher: (B,3,H,W) x2 -> (B,3,H,W).
+
+    Build it once and call it per batch — a fresh jax.jit wrapper per call
+    would re-trace the whole pyramid each time."""
+    fn = jax.vmap(partial(_single_pair, cfg=cfg, height=height, width=width))
+    if mesh is not None:
+        spec = NamedSharding(mesh, P("pairs"))
+        return jax.jit(fn, in_shardings=(spec, spec), out_shardings=spec)
+    return jax.jit(fn)
+
+
 def batch_match(left_batch, right_batch, cfg: Optional[MatcherConfig] = None,
                 mesh: Optional[Mesh] = None):
     """Match a batch of pairs, sharded over the mesh 'pairs' axis.
 
     left_batch/right_batch: (B, 3, H, W) float arrays.
-    Returns (B, 3, H, W) disparity triplets.
-    """
+    Returns (B, 3, H, W) disparity triplets.  One-shot convenience —
+    long-lived callers should hold a make_batch_matcher (or use
+    StereoEngine.match_batch, which caches per shape)."""
     cfg = cfg or MatcherConfig()
     b, _, h, w = left_batch.shape
-    fn = jax.vmap(partial(_single_pair, cfg=cfg, height=h, width=w))
-    if mesh is not None:
-        spec = NamedSharding(mesh, P("pairs"))
-        fn = jax.jit(fn, in_shardings=(spec, spec), out_shardings=spec)
-    else:
-        fn = jax.jit(fn)
+    fn = make_batch_matcher(cfg, h, w, mesh)
     return fn(jnp.asarray(left_batch), jnp.asarray(right_batch))
