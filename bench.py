@@ -10,7 +10,8 @@ than the reference.
 
 Env overrides: BENCH_H, BENCH_W (default 3264 x 4928 — the Glasgow rig
 resolution, calibrations/calL.xml), BENCH_REPEATS (default 3),
-BENCH_MODE ("mode1" | "foveated").
+BENCH_MODE ("mode1" | "foveated" | "throughput"),
+BENCH_BATCH (throughput mode batch size, default 8).
 """
 
 import json
@@ -38,6 +39,8 @@ def main():
     w = int(os.environ.get("BENCH_W", 4928))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
     mode = os.environ.get("BENCH_MODE", "mode1")
+    if mode == "throughput":
+        return _throughput(h, w, repeats)
     baseline_s = 10.0 if mode == "mode1" else 3.0
 
     rng = np.random.RandomState(0)
@@ -94,6 +97,54 @@ def main():
             "device": str(jax.devices()[0]),
             "baseline_s": baseline_s,
         },
+    }))
+
+
+def _throughput(h, w, repeats):
+    """Batched pairs/s on the available devices (Glasgow-database-style
+    throughput; BENCH_H/W default to a 1MP working resolution here)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ug_stereomatcher_tpu import MatcherConfig, StereoEngine
+    from ug_stereomatcher_tpu.parallel import make_mesh, mesh_shape_for
+
+    if (h, w) == (3264, 4928):  # default unset -> use a 1MP batch size
+        h, w = 815, 1231
+    batch = int(os.environ.get("BENCH_BATCH", 8))
+    n_dev = len(jax.devices())
+    pairs_ax, rows_ax = mesh_shape_for(n_dev, n_pairs=batch)
+    mesh = make_mesh(pairs_ax, rows_ax) if n_dev > 1 else None
+
+    rng = np.random.RandomState(0)
+    left = rng.randint(0, 256, size=(batch, h, w, 3), dtype=np.uint8)
+    right = np.roll(left, 3, axis=2)
+    eng = StereoEngine(MatcherConfig())
+    lb = jnp.asarray(left)
+    rb = jnp.asarray(right)
+
+    def once():
+        t0 = time.perf_counter()
+        res = eng.match_batch(lb, rb, mesh)
+        float(jnp.sum(res.disparity_h))
+        return time.perf_counter() - t0
+
+    compile_s = once()
+    times = [once() for _ in range(repeats)]
+    sec = min(times)
+    # reference throughput at this resolution: 10 s/pair at 16MP scales
+    # ~linearly with pixels
+    ref_pps = 1.0 / (10.0 * (h * w) / (3264 * 4928))
+    pps = batch / sec
+    print(json.dumps({
+        "metric": f"batched_throughput_{h}x{w}",
+        "value": round(pps, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(pps / ref_pps, 3),
+        "extra": {"batch": batch, "devices": n_dev,
+                  "seconds_per_batch": round(sec, 4),
+                  "compile_plus_first_run_s": round(compile_s, 2),
+                  "device": str(jax.devices()[0])},
     }))
 
 

@@ -22,6 +22,11 @@ from ug_stereomatcher_tpu import pyramid as pyr
 
 
 def _single_pair(left, right, cfg: MatcherConfig, height: int, width: int):
+    # The Pallas kernels use ANY-memory-space inputs with manual DMA, which
+    # Pallas cannot auto-batch under vmap — the batched path runs the
+    # (vmap-compatible) XLA ops instead.
+    import dataclasses
+    cfg = dataclasses.replace(cfg, warp_backend="xla")
     n = cfg.num_levels(height, width)
     lp = pyr.build_pyramid(left, cfg, n)
     rp = pyr.build_pyramid(right, cfg, n)
