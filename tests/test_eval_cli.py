@@ -108,3 +108,40 @@ class TestCli:
     def test_bad_args(self):
         with pytest.raises(SystemExit):
             self._run("match")  # missing positional args
+
+
+class TestConfigFile:
+    def test_yaml_roundtrip(self, tmp_path):
+        from ug_stereomatcher_tpu.config import MatcherConfig
+        p = tmp_path / "cfg.yaml"
+        p.write_text("fovea_level: 3\ninterp: bilinear\nwarp_max_dx: 512\n")
+        cfg = MatcherConfig.from_file(str(p))
+        assert cfg.fovea_level == 3
+        assert cfg.interp == "bilinear"
+        assert cfg.warp_max_dx == 512
+        assert cfg.max_level == 14  # defaults preserved
+
+    def test_unknown_key_rejected(self, tmp_path):
+        from ug_stereomatcher_tpu.config import MatcherConfig
+        p = tmp_path / "cfg.json"
+        p.write_text('{"fovae_level": 3}')  # typo
+        with pytest.raises(ValueError, match="unknown config fields"):
+            MatcherConfig.from_file(str(p))
+
+    def test_cli_config_with_override(self, tmp_path):
+        from ug_stereomatcher_tpu.eval import synthetic_scene
+        from ug_stereomatcher_tpu.io.image import save_image
+        left, right, _, _ = synthetic_scene("constant", 64, 96, magnitude=2.0)
+        lp, rp = str(tmp_path / "l.png"), str(tmp_path / "r.png")
+        save_image(lp, left)
+        save_image(rp, right)
+        cfgp = tmp_path / "cfg.yaml"
+        cfgp.write_text("fovea_level: 6\n")
+        from ug_stereomatcher_tpu.cli import main
+        import io as _io
+        from contextlib import redirect_stdout
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            rc = main(["match", lp, rp, "-o", str(tmp_path / "o"),
+                       "--config", str(cfgp), "--fovea-level", "3"])
+        assert rc == 0

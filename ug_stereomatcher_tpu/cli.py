@@ -20,19 +20,30 @@ import time
 
 
 def _add_engine_args(p):
-    p.add_argument("--fovea-level", type=int, default=7,
+    p.add_argument("--config", default=None,
+                   help="YAML/JSON MatcherConfig file (the launch-file "
+                        "analog); flags below override its values")
+    p.add_argument("--fovea-level", type=int, default=None,
                    help="pyramid level defining the fovea size (default 7)")
     p.add_argument("--interp", choices=["nearest", "bilinear"],
-                   default="nearest",
+                   default=None,
                    help="resampling (nearest = reference parity)")
     p.add_argument("--warp-backend", choices=["auto", "xla", "pallas"],
-                   default="auto")
+                   default=None)
 
 
 def _engine(args):
+    import dataclasses
+
     from ug_stereomatcher_tpu import MatcherConfig, StereoEngine
-    cfg = MatcherConfig(fovea_level=args.fovea_level, interp=args.interp,
-                        warp_backend=args.warp_backend)
+    cfg = (MatcherConfig.from_file(args.config) if args.config
+           else MatcherConfig())
+    overrides = {k: v for k, v in (("fovea_level", args.fovea_level),
+                                   ("interp", args.interp),
+                                   ("warp_backend", args.warp_backend))
+                 if v is not None}
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
     return StereoEngine(cfg)
 
 

@@ -218,3 +218,28 @@ class MatcherConfig:
     def moves(self) -> Tuple[Tuple[float, float], ...]:
         t = self.threshold_init
         return ((-t, 0.0), (t, 0.0), (0.0, -t), (0.0, t), (0.0, 0.0))
+
+    # -----------------------------------------------------------------
+    @classmethod
+    def from_file(cls, path: str) -> "MatcherConfig":
+        """Load a config from a YAML or JSON file — the launch-file /
+        parameter-server analog (stereo_nodes*.launch parameters become
+        plain keys).  Unknown keys raise, so typos don't silently fall
+        back to defaults (unlike ROS param lookups)."""
+        import json
+
+        with open(path) as fh:
+            if path.endswith((".yaml", ".yml")):
+                import yaml
+                data = yaml.safe_load(fh) or {}
+            else:
+                data = json.load(fh)
+        if not isinstance(data, dict):
+            raise ValueError(f"{path}: expected a mapping of config fields")
+        valid = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(data) - valid
+        if unknown:
+            raise ValueError(
+                f"{path}: unknown config fields {sorted(unknown)}; valid "
+                f"fields: {sorted(valid)}")
+        return cls(**data)
