@@ -117,3 +117,34 @@ class TestBatch:
         assert p * r == 8 and p <= 2
         p, r = par.mesh_shape_for(8)
         assert p * r == 8
+
+
+class TestShardedFoveated:
+    def test_foveated_pair_matches_unsharded(self, mesh4):
+        h, w = 96, 72
+        cfg = MatcherConfig(fovea_level=3)
+        left = RNG.rand(3, h, w).astype(np.float32) * 255
+        right = RNG.rand(3, h, w).astype(np.float32) * 255
+        from ug_stereomatcher_tpu import pyramid as pyr
+        n = cfg.num_levels(h, w)
+        lp = pyr.build_pyramid(jnp.asarray(left), cfg, n)
+        rp = pyr.build_pyramid(jnp.asarray(right), cfg, n)
+        lf = pyr.foveate_pyramid(lp, cfg, (h, w))
+        rf = pyr.foveate_pyramid(rp, cfg, (h, w))
+        ref = match_mod.match_pyramid(lf, rf, cfg, (h, w), foveated=True)
+        out = par.sharded_match_pair(jnp.asarray(left), jnp.asarray(right),
+                                     cfg, mesh4, min_rows_per_shard=8,
+                                     foveated=True)
+        # Per-level sharding is float-exact (TestShardedLevel), but a free
+        # run across 7 levels amplifies float noise through the
+        # discontinuous nearest warp — compare with quantile criteria, as
+        # the gold end-to-end tests do.
+        assert out.levels[n - 1].shape == ref.levels[n - 1].shape
+        np.testing.assert_allclose(np.asarray(out.levels[n - 1]),
+                                   np.asarray(ref.levels[n - 1]),
+                                   rtol=1e-4, atol=1e-4)
+        d = np.abs(np.asarray(out.levels[0]) - np.asarray(ref.levels[0]))
+        assert np.median(d) < 0.15
+        assert (d > 0.5).mean() < 0.10
+        fov = cfg.fovea_dims(h, w)
+        assert out.levels[0].shape[-2:] == fov

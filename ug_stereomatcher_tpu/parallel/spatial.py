@@ -288,6 +288,11 @@ def sharded_match_level(left: jnp.ndarray, right: jnp.ndarray,
         cfgpad = [(0, 0)] * (x.ndim - 2) + [(0, pad), (0, 0)]
         return jnp.pad(x, cfgpad)
 
+    # NOTE on equivalence: results match the single-device engine to float
+    # noise (collective data movement reorders nothing, but fused-multiply
+    # contraction differs), and the nearest-warp feedback amplifies that
+    # noise chaotically over many iterations — compare per level with
+    # tolerances, not bitwise (see tests/test_sharding.py).
     body = partial(_level_body, cfg=cfg, level_index=level_index,
                    is_coarsest=is_coarsest, true_h=true_h,
                    axis_name=axis_name)
@@ -301,19 +306,26 @@ def sharded_match_level(left: jnp.ndarray, right: jnp.ndarray,
 def sharded_match_pair(left: jnp.ndarray, right: jnp.ndarray,
                        cfg: MatcherConfig, mesh: Mesh,
                        axis_name: str = "rows",
-                       min_rows_per_shard: int = 16
+                       min_rows_per_shard: int = 16,
+                       foveated: bool = False
                        ) -> match_mod.PyramidMatchResult:
     """Full coarse-to-fine match of one pair with large levels row-sharded.
 
     Pyramid build, disparity up-sampling and levels with fewer than
     min_rows_per_shard * n_shards rows run as plain (replicated) ops; the
-    hot fine levels run under shard_map."""
+    hot fine levels run under shard_map.  In foveated mode the fixed-size
+    fovea levels are always replicated (they are small by construction)
+    while the coarse full-resolution levels shard as usual."""
     n_shards = mesh.shape[axis_name]
     h, w = left.shape[-2:]
     n = cfg.num_levels(h, w)
     lp = pyr.build_pyramid(left, cfg, n)
     rp = pyr.build_pyramid(right, cfg, n)
-    dims = cfg.dims_chain(h, w)[:n]
+    if foveated:
+        lp = pyr.foveate_pyramid(lp, cfg, (h, w))
+        rp = pyr.foveate_pyramid(rp, cfg, (h, w))
+    dims = match_mod.level_dims_for_matching(cfg, h, w, n, foveated)
+    full_chain = cfg.dims_chain(h, w)
 
     results = [None] * n
     hh, ww = dims[n - 1]
@@ -331,6 +343,10 @@ def sharded_match_pair(left: jnp.ndarray, right: jnp.ndarray,
                                          is_coarsest)
         results[i] = disp
         if i > 0:
-            h2, w2 = dims[i - 1]
-            disp = pyr.upsample_to_level(disp, h2, w2, cfg)
+            if (not foveated) or i >= cfg.fovea_level:
+                h2, w2 = dims[i - 1]
+                disp = pyr.upsample_to_level(disp, h2, w2, cfg)
+            else:
+                big_h, big_w = full_chain[cfg.fovea_level - 2]
+                disp = pyr.foveated_upsample(disp, big_h, big_w, cfg)
     return match_mod.PyramidMatchResult(levels=tuple(results))
