@@ -75,7 +75,11 @@ def main():
     # dominate the measurement (see host_path_s in extra).
     left_dev = jnp.asarray(left)
     right_dev = jnp.asarray(right)
-    float(jnp.sum(left_dev)) and float(jnp.sum(right_dev))
+    # Force BOTH uploads unconditionally (an `and` chain would skip the
+    # right image whenever the left sum is 0.0, leaving its ~44 MB/s relay
+    # transfer to pollute the first timing sample).
+    float(jnp.sum(left_dev))
+    float(jnp.sum(right_dev))
     times = [once(left_dev, right_dev) for _ in range(repeats)]
     value = float(min(times))
 

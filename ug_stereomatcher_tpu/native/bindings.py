@@ -27,17 +27,29 @@ def ensure_built() -> bool:
             return True
         if _build_failed:
             return False
-        if not os.path.exists(_LIB_PATH):
+        # (Re)build when the library is missing OR older than its source —
+        # a stale binary must never shadow edits to native/ug_native.cpp.
+        # The .so itself is build output and stays out of version control.
+        src = os.path.join(_SRC_DIR, "ug_native.cpp")
+        stale = (not os.path.exists(_LIB_PATH)
+                 or (os.path.exists(src)
+                     and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
+        if stale:
             mk = os.path.join(_SRC_DIR, "Makefile")
             if not os.path.exists(mk):
-                _build_failed = True
-                return False
-            try:
-                subprocess.run(["make", "-C", _SRC_DIR, "-s"], check=True,
-                               capture_output=True, timeout=120)
-            except Exception:
-                _build_failed = True
-                return False
+                _build_failed = not os.path.exists(_LIB_PATH)
+                if _build_failed:
+                    return False
+            else:
+                try:
+                    subprocess.run(["make", "-C", _SRC_DIR, "-s"], check=True,
+                                   capture_output=True, timeout=120)
+                except Exception:
+                    # keep serving an existing (older) library rather than
+                    # failing outright; fail only if there is none at all
+                    if not os.path.exists(_LIB_PATH):
+                        _build_failed = True
+                        return False
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:

@@ -12,8 +12,12 @@ the row-axis size and row-sharded.  Inside ``shard_map``:
 * global image edges keep the reference's boundary semantics (zero for the
   cross-correlation blurs, clamp for texture convs/shifts) via a pad-region
   refresh before each stencil: the bottom pad rows are rewritten to the
-  exact boundary extension (zeros or edge-row replicate), so sharded results
-  are bit-identical to the single-device engine.
+  exact boundary extension (zeros or edge-row replicate).  Sharded results
+  match the single-device engine to float rounding per level (fused-multiply
+  contraction differs across partitions, and the nearest-warp feedback is
+  chaotic over iterations) — compare with tolerances, per level or in
+  lockstep, never bitwise (see the NOTE in sharded_match_level and
+  tests/test_sharding.py).
 
 Pyramid levels smaller than ``min_rows_per_shard *  n_shards`` run
 replicated — the reference's coarse levels are a few dozen pixels and not

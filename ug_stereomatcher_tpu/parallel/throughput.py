@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ug_stereomatcher_tpu.config import MatcherConfig
-from ug_stereomatcher_tpu.parallel.batch import batch_match
+from ug_stereomatcher_tpu.parallel.batch import make_batch_matcher
 from ug_stereomatcher_tpu.parallel.mesh import make_mesh
 
 
@@ -53,9 +53,15 @@ def measure_throughput(height: int = 192, width: int = 256,
         mesh = make_mesh(n_pairs_axis=nd, n_rows_axis=1,
                          devices=devices[:nd])
         lj, rj = jnp.asarray(left), jnp.asarray(right)
+        # Build the jitted matcher ONCE per device count and time calls to
+        # the cached fn — a fresh make_batch_matcher per repeat would
+        # re-trace the whole pyramid and measure compile time instead of
+        # steady-state throughput (same per-shape caching rule as
+        # StereoEngine.match_batch).
+        fn = make_batch_matcher(cfg, height, width, mesh)
 
         def run():
-            out = batch_match(lj, rj, cfg, mesh)
+            out = fn(lj, rj)
             return float(jnp.sum(out[:, 0]))
 
         run()  # compile
