@@ -1,16 +1,21 @@
-"""Benchmark: 16MP full-pyramid disparity (mode 1) on one TPU chip.
+"""Benchmark: the three headline metrics on one TPU chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": seconds_per_pair, "unit": "s/pair",
-   "vs_baseline": reference_seconds / ours}
+Default (BENCH_MODE=all) runs all three reference-comparable benchmarks and
+prints one JSON line per metric, ending with the primary one:
 
-Baseline: the reference CUDA matcher does a 16MP RGB pair in 10 s
-(/root/reference/README.md:15; BASELINE.md).  vs_baseline > 1 means faster
-than the reference.
+  1. foveated   — 16MP mode-2 foveated stack latency (ref: 3 s/pair)
+  2. throughput — batched pairs/s at a 1MP working resolution (ref scaled
+                  from 10 s/pair at 16MP)
+  3. mode1      — 16MP full-pyramid disparity latency (ref: 10 s/pair);
+                  printed LAST with the other two results embedded in
+                  "extra" so a last-line parser still captures everything.
+
+vs_baseline > 1 means faster than the reference CUDA matcher
+(/root/reference/README.md:15-16; BASELINE.md).
 
 Env overrides: BENCH_H, BENCH_W (default 3264 x 4928 — the Glasgow rig
 resolution, calibrations/calL.xml), BENCH_REPEATS (default 3),
-BENCH_MODE ("mode1" | "foveated" | "throughput"),
+BENCH_MODE ("all" | "mode1" | "foveated" | "throughput"),
 BENCH_BATCH (throughput mode batch size, default 8).
 """
 
@@ -22,7 +27,7 @@ import time
 import numpy as np
 
 
-def main():
+def _setup_jax():
     import jax
 
     # Persistent compile cache: the pyramid engine jits one scan per level;
@@ -32,26 +37,28 @@ def main():
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return jax
+
+
+def _make_pair(h, w, batch=None):
+    rng = np.random.RandomState(0)
+    shape = (h, w, 3) if batch is None else (batch, h, w, 3)
+    left = rng.randint(0, 256, size=shape, dtype=np.uint8)
+    # right: small horizontal shift of left, so the matcher does real work
+    right = np.roll(left, 3, axis=1 if batch is None else 2)
+    return left, right
+
+
+def _latency(jax, mode, h, w, repeats):
+    """One metric dict for mode1 / foveated latency."""
+    import jax.numpy as jnp
 
     from ug_stereomatcher_tpu import StereoEngine, MatcherConfig
 
-    h = int(os.environ.get("BENCH_H", 3264))
-    w = int(os.environ.get("BENCH_W", 4928))
-    repeats = int(os.environ.get("BENCH_REPEATS", 3))
-    mode = os.environ.get("BENCH_MODE", "mode1")
-    if mode == "throughput":
-        return _throughput(h, w, repeats)
     baseline_s = 10.0 if mode == "mode1" else 3.0
-
-    rng = np.random.RandomState(0)
-    left = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
-    # right: small horizontal shift of left, so the matcher does real work
-    right = np.roll(left, 3, axis=1)
-
+    left, right = _make_pair(h, w)
     eng = StereoEngine(MatcherConfig())
     run = eng.match if mode == "mode1" else eng.match_foveated
-
-    import jax.numpy as jnp
 
     def plane(res):
         return res.disparity_h if hasattr(res, "disparity_h") else res.stack_h
@@ -75,9 +82,7 @@ def main():
     # dominate the measurement (see host_path_s in extra).
     left_dev = jnp.asarray(left)
     right_dev = jnp.asarray(right)
-    # Force BOTH uploads unconditionally (an `and` chain would skip the
-    # right image whenever the left sum is 0.0, leaving its ~44 MB/s relay
-    # transfer to pollute the first timing sample).
+    # Force BOTH uploads unconditionally before timing.
     float(jnp.sum(left_dev))
     float(jnp.sum(right_dev))
     times = [once(left_dev, right_dev) for _ in range(repeats)]
@@ -86,7 +91,7 @@ def main():
     # End-to-end from host numpy arrays (includes relay H2D), for reference
     host_path_s = min(once(left, right) for _ in range(2))
 
-    print(json.dumps({
+    return {
         "metric": f"16mp_{mode}_disparity_latency"
                   if (h, w) == (3264, 4928) else
                   f"{mode}_disparity_latency_{h}x{w}",
@@ -101,13 +106,12 @@ def main():
             "device": str(jax.devices()[0]),
             "baseline_s": baseline_s,
         },
-    }))
+    }
 
 
-def _throughput(h, w, repeats):
+def _throughput(jax, h, w, repeats):
     """Batched pairs/s on the available devices (Glasgow-database-style
-    throughput; BENCH_H/W default to a 1MP working resolution here)."""
-    import jax
+    throughput; defaults to a 1MP working resolution)."""
     import jax.numpy as jnp
 
     from ug_stereomatcher_tpu import MatcherConfig, StereoEngine
@@ -120,9 +124,7 @@ def _throughput(h, w, repeats):
     pairs_ax, rows_ax = mesh_shape_for(n_dev, n_pairs=batch)
     mesh = make_mesh(pairs_ax, rows_ax) if n_dev > 1 else None
 
-    rng = np.random.RandomState(0)
-    left = rng.randint(0, 256, size=(batch, h, w, 3), dtype=np.uint8)
-    right = np.roll(left, 3, axis=2)
+    left, right = _make_pair(h, w, batch=batch)
     eng = StereoEngine(MatcherConfig())
     lb = jnp.asarray(left)
     rb = jnp.asarray(right)
@@ -140,7 +142,7 @@ def _throughput(h, w, repeats):
     # ~linearly with pixels
     ref_pps = 1.0 / (10.0 * (h * w) / (3264 * 4928))
     pps = batch / sec
-    print(json.dumps({
+    return {
         "metric": f"batched_throughput_{h}x{w}",
         "value": round(pps, 3),
         "unit": "pairs/s",
@@ -148,8 +150,46 @@ def _throughput(h, w, repeats):
         "extra": {"batch": batch, "devices": n_dev,
                   "seconds_per_batch": round(sec, 4),
                   "compile_plus_first_run_s": round(compile_s, 2),
-                  "device": str(jax.devices()[0])},
-    }))
+                  "device": str(jax.devices()[0]),
+                  "baseline_pairs_per_s": round(ref_pps, 4)},
+    }
+
+
+def main():
+    jax = _setup_jax()
+    h = int(os.environ.get("BENCH_H", 3264))
+    w = int(os.environ.get("BENCH_W", 4928))
+    repeats = int(os.environ.get("BENCH_REPEATS", 3))
+    mode = os.environ.get("BENCH_MODE", "all")
+
+    if mode == "throughput":
+        print(json.dumps(_throughput(jax, h, w, repeats)))
+        return
+    if mode in ("mode1", "foveated"):
+        print(json.dumps(_latency(jax, mode, h, w, repeats)))
+        return
+
+    # mode == "all": secondary metrics first (each on its own JSON line),
+    # the primary mode-1 line LAST with the secondaries embedded so any
+    # single-line consumer still records all three headline numbers.
+    side = {}
+    for name, fn in (("foveated", lambda: _latency(jax, "foveated", h, w,
+                                                   repeats)),
+                     ("throughput", lambda: _throughput(jax, h, w, repeats))):
+        try:
+            r = fn()
+            side[name] = {k: r[k] for k in
+                          ("metric", "value", "unit", "vs_baseline")}
+            print(json.dumps(r))
+        except Exception as e:  # never let a secondary sink the primary
+            side[name] = {"error": f"{type(e).__name__}: {e}"}
+            print(json.dumps({"metric": f"{name}_FAILED",
+                              "error": side[name]["error"]}))
+        sys.stdout.flush()
+
+    primary = _latency(jax, "mode1", h, w, repeats)
+    primary["extra"].update(side)
+    print(json.dumps(primary))
 
 
 if __name__ == "__main__":
