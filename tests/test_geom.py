@@ -183,3 +183,116 @@ class TestPointCloud:
         img = np.zeros((h, w, 3), np.uint8)
         cloud = geom.resized_pointcloud(rig, dh, dv, img, resize_factor=0.5)
         assert len(cloud) == (h // 2) * (w // 2)
+
+
+def scalar_gold_map_coord(cfg, full_dims, src_level, v, axis):
+    """Scalar re-derivation of mapXcoord/mapYcoord + margins
+    (getPointCloud.cpp:387-484) for the usual src >= dest=0 case."""
+    dims = cfg.dims_chain(*full_dims)
+    scaled = (cfg.fovea_level - 1) - src_level
+    dest = dims[0][axis]
+    src = dims[scaled][axis]
+    margin = dest // 2 - src // 2
+    return margin + v * (np.sqrt(2.0) ** src_level)
+
+
+class TestFoveatedResized:
+    """Gold tests for doReconstructionFOV_resized / getRangePointFOV
+    (getPointCloud.cpp:802-884, :984-1021)."""
+
+    def _setup(self, src_level=0):
+        rig = make_rig()
+        cfg = MatcherConfig(fovea_level=3)
+        H, W = 72, 96
+        fov_h, fov_w = cfg.fovea_dims(H, W)
+        rng = np.random.RandomState(21)
+        stack_h = (rng.rand(cfg.fovea_level * fov_h, fov_w)
+                   .astype(np.float32) * 3 + 2)
+        stack_v = (rng.rand(cfg.fovea_level * fov_h, fov_w)
+                   .astype(np.float32) * 0.4 - 0.2)
+        img = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+        return rig, cfg, (H, W), (fov_h, fov_w), stack_h, stack_v, img
+
+    def test_range_map_matches_scalar_gold(self):
+        for src_level in (0, 1):
+            (rig, cfg, (H, W), (fov_h, fov_w),
+             stack_h, stack_v, _) = self._setup(src_level)
+            rmap = geom.foveated_range_map(rig, cfg, stack_h, stack_v,
+                                           (H, W), src_level=src_level)
+            assert rmap.shape == (fov_h, fov_w)
+            # scalar gold: the getRangePointFOV loop, via the independent
+            # least-squares solve of the same system
+            for (yy, xx) in [(0, 0), (3, 5), (fov_h - 1, fov_w - 1),
+                             (fov_h // 2, fov_w // 3)]:
+                d_h = stack_h[src_level * fov_h + yy, xx]
+                d_v = stack_v[src_level * fov_h + yy, xx]
+                x1 = scalar_gold_map_coord(cfg, (H, W), src_level, xx, 1)
+                y1 = scalar_gold_map_coord(cfg, (H, W), src_level, yy, 0)
+                x2 = scalar_gold_map_coord(cfg, (H, W), src_level, xx + d_h, 1)
+                y2 = scalar_gold_map_coord(cfg, (H, W), src_level, yy + d_v, 0)
+                gold = scalar_gold_triangulate(rig.left.P, rig.right.P,
+                                               x1, y1, x2, y2)
+                np.testing.assert_allclose(rmap[yy, xx], gold[2],
+                                           rtol=2e-3, atol=1e-4)
+
+    def test_resized_cloud_shapes_and_z(self):
+        (rig, cfg, (H, W), (fov_h, fov_w),
+         stack_h, stack_v, img) = self._setup()
+        f = 0.5
+        cloud = geom.foveated_resized_pointcloud(
+            rig, cfg, stack_h, stack_v, img, src_level=0, resize_factor=f)
+        out_h, out_w = int(fov_h * f), int(fov_w * f)
+        assert len(cloud) == out_h * out_w
+        # Z comes from the resized range map (reference :874), not from the
+        # per-point triangulation
+        rmap = geom.foveated_range_map(rig, cfg, stack_h, stack_v, (H, W))
+        from ug_stereomatcher_tpu.ops.resample import subsample
+        import jax.numpy as jnp
+        z_res = np.asarray(subsample(jnp.asarray(rmap), out_h, out_w,
+                                     1.0 / f, method="bilinear"))
+        np.testing.assert_allclose(cloud.xyz[:, 2],
+                                   z_res.reshape(-1), rtol=1e-6)
+
+    def test_resized_cloud_xy_matches_get3dpoint_gold(self):
+        (rig, cfg, (H, W), (fov_h, fov_w),
+         stack_h, stack_v, img) = self._setup()
+        f = 0.5
+        cloud = geom.foveated_resized_pointcloud(
+            rig, cfg, stack_h, stack_v, img, src_level=0, resize_factor=f)
+        out_w = int(fov_w * f)
+        # spot-check XY against the scalar get3DPoint foveated branch
+        for (jj, ii) in [(0, 0), (2, 3), (int(fov_h * f) - 1, out_w - 1)]:
+            xx = int(ii / f)
+            yy = int(jj / f)
+            d_h = stack_h[yy, xx]
+            d_v = stack_v[yy, xx]
+            x1 = scalar_gold_map_coord(cfg, (H, W), 0, xx, 1)
+            y1 = scalar_gold_map_coord(cfg, (H, W), 0, yy, 0)
+            x2 = scalar_gold_map_coord(cfg, (H, W), 0, xx + d_h, 1)
+            y2 = scalar_gold_map_coord(cfg, (H, W), 0, yy + d_v, 0)
+            gold = scalar_gold_triangulate(rig.left.P, rig.right.P,
+                                           x1, y1, x2, y2)
+            pt = cloud.xyz[jj * out_w + ii]
+            np.testing.assert_allclose(pt[:2], gold[:2], rtol=2e-3, atol=1e-4)
+
+    def test_rgb_parity_quirk(self):
+        # The reference reads colours at the UNMAPPED fovea coordinates
+        # (getPointCloud.cpp:864-867) — the parity default keeps that;
+        # map_rgb_coords=True samples at the mapped full-res coordinates.
+        (rig, cfg, (H, W), (fov_h, fov_w),
+         stack_h, stack_v, img) = self._setup()
+        f = 0.5
+        cloud = geom.foveated_resized_pointcloud(
+            rig, cfg, stack_h, stack_v, img, src_level=0, resize_factor=f)
+        out_w = int(fov_w * f)
+        jj, ii = 1, 2
+        xx, yy = int(ii / f), int(jj / f)
+        np.testing.assert_array_equal(cloud.rgb[jj * out_w + ii],
+                                      img[yy, xx])
+        mapped = geom.foveated_resized_pointcloud(
+            rig, cfg, stack_h, stack_v, img, src_level=0, resize_factor=f,
+            map_rgb_coords=True)
+        mx = int(scalar_gold_map_coord(cfg, (H, W), 0, xx, 1))
+        my = int(scalar_gold_map_coord(cfg, (H, W), 0, yy, 0))
+        np.testing.assert_array_equal(mapped.rgb[jj * out_w + ii],
+                                      img[my, mx])

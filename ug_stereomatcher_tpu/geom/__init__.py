@@ -21,6 +21,8 @@ from ug_stereomatcher_tpu.geom.pointcloud import (
     PointCloud,
     disparity_to_pointcloud,
     foveated_disparity_to_pointcloud,
+    foveated_range_map,
+    foveated_resized_pointcloud,
     resized_pointcloud,
     save_pcd,
     save_ply,
@@ -38,6 +40,8 @@ __all__ = [
     "PointCloud",
     "disparity_to_pointcloud",
     "foveated_disparity_to_pointcloud",
+    "foveated_range_map",
+    "foveated_resized_pointcloud",
     "resized_pointcloud",
     "save_pcd",
     "save_ply",

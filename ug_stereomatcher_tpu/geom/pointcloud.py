@@ -127,6 +127,95 @@ def resized_pointcloud(calib, disp_h, disp_v, left_image,
     return PointCloud(xyz=xyz, rgb=rgb.reshape(-1, 3))
 
 
+def foveated_range_map(calib, cfg: MatcherConfig, stack_h, stack_v,
+                       full_dims: Tuple[int, int],
+                       src_level: int = 0) -> np.ndarray:
+    """Z-only range map over the fovea grid of one stack level
+    (getRangePointFOV, getPointCloud.cpp:984-1021).
+
+    Both match endpoints are mapped into full-resolution coordinates first
+    — including the disparity endpoint, which the reference maps *after*
+    adding the raw (fovea-scale) disparity (:994-995) — then the closed-form
+    triangulation's Z component is evaluated.  Returns (fov_h, fov_w)
+    float32."""
+    H, W = full_dims
+    stack_h = np.asarray(stack_h)
+    stack_v = np.asarray(stack_v)
+    fov_h = stack_h.shape[0] // cfg.fovea_level
+    fov_w = stack_h.shape[1]
+    sl = slice(src_level * fov_h, (src_level + 1) * fov_h)
+    dh = stack_h[sl]
+    dv = stack_v[sl]
+    yy, xx = np.mgrid[0:fov_h, 0:fov_w].astype(np.float32)
+    x1, y1 = map_fovea_coords(cfg, H, W, src_level, xx, yy)
+    x2, y2 = map_fovea_coords(cfg, H, W, src_level, xx + dh, yy + dv)
+    _, _, Z = triangulate_points(
+        calib.left.P, calib.right.P,
+        jnp.asarray(x1), jnp.asarray(y1), jnp.asarray(x2), jnp.asarray(y2))
+    return np.asarray(Z, dtype=np.float32)
+
+
+def foveated_resized_pointcloud(calib, cfg: MatcherConfig, stack_h, stack_v,
+                                left_image, src_level: int = 0,
+                                resize_factor: float = 0.2,
+                                map_rgb_coords: bool = False) -> PointCloud:
+    """Foveated resized-range-map reconstruction (doReconstructionFOV_resized,
+    getPointCloud.cpp:802-884): compute the fovea-level Z range map via
+    :func:`foveated_range_map`, resize it by ``resize_factor``, and emit one
+    point per resized pixel — XY from the full closed-form triangulation at
+    the corresponding fovea pixel (get3DPoint's foveated branch, :892-907),
+    Z from the resized range map.
+
+    Parity notes: the reference resizes with cv::INTER_CUBIC (:841); this
+    implementation uses the engine's bilinear resample (same choice as
+    :func:`resized_pointcloud` — the resized map is a preview product, not a
+    matched quantity).  The reference also samples the point colour from the
+    full-resolution left image at the *unmapped* fovea coordinates
+    (:864-867 reads ``imgL`` at ``(yy, xx)`` where ``xx, yy`` are fovea-grid
+    indices — unlike doReconstructionRGB_FOV, which maps first at :651-652).
+    That top-left-corner colour read is kept as the parity default;
+    ``map_rgb_coords=True`` samples at the mapped coordinates instead."""
+    stack_h = np.asarray(stack_h)
+    stack_v = np.asarray(stack_v)
+    rgb_img = _rgb_from_image(left_image)
+    H, W = rgb_img.shape[:2]
+    fov_h = stack_h.shape[0] // cfg.fovea_level
+    fov_w = stack_h.shape[1]
+
+    rmap = foveated_range_map(calib, cfg, stack_h, stack_v, (H, W), src_level)
+    out_h = int(fov_h * resize_factor)
+    out_w = int(fov_w * resize_factor)
+    z_res = np.asarray(subsample(jnp.asarray(rmap), out_h, out_w,
+                                 1.0 / resize_factor, method="bilinear"))
+
+    # int(ii / resizeFactor) source lookup per resized pixel (:860-861)
+    yy, xx = np.mgrid[0:out_h, 0:out_w]
+    sx = np.clip((xx / resize_factor).astype(np.int64), 0, fov_w - 1)
+    sy = np.clip((yy / resize_factor).astype(np.int64), 0, fov_h - 1)
+
+    sl = slice(src_level * fov_h, (src_level + 1) * fov_h)
+    dh = stack_h[sl]
+    dv = stack_v[sl]
+    fx = sx.astype(np.float32)
+    fy = sy.astype(np.float32)
+    x1, y1 = map_fovea_coords(cfg, H, W, src_level, fx, fy)
+    x2, y2 = map_fovea_coords(cfg, H, W, src_level,
+                              fx + dh[sy, sx], fy + dv[sy, sx])
+    X, Y, _ = (np.asarray(v) for v in triangulate_points(
+        calib.left.P, calib.right.P,
+        jnp.asarray(x1), jnp.asarray(y1), jnp.asarray(x2), jnp.asarray(y2)))
+
+    if map_rgb_coords:
+        cx = np.clip(x1.astype(np.int64), 0, W - 1)
+        cy = np.clip(y1.astype(np.int64), 0, H - 1)
+    else:  # reference behaviour: unmapped fovea-grid coordinates (:864)
+        cx = np.clip(sx, 0, W - 1)
+        cy = np.clip(sy, 0, H - 1)
+    rgb = rgb_img[cy, cx]
+    xyz = np.stack([X, Y, z_res], axis=-1).reshape(-1, 3).astype(np.float32)
+    return PointCloud(xyz=xyz, rgb=rgb.reshape(-1, 3))
+
+
 # ----------------------------------------------------------------------
 # Serialisation (replaces pcl::io::savePCDFileASCII and PLY tooling)
 # ----------------------------------------------------------------------
