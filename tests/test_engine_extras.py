@@ -77,3 +77,49 @@ class TestViz:
         from ug_stereomatcher_tpu.io.image import load_image
         panel = load_image(p)
         assert panel.shape == (48, 64 * 3, 3)
+
+
+class TestEngineMetrics:
+    """StereoEngine instrumentation — the excutionTime-bucket analog
+    (MatchGPULib.cpp:39, :1108-1117, :1265-1269)."""
+
+    def _pair(self, h=64, w=96):
+        rng = np.random.RandomState(3)
+        left = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        right = np.roll(left, 2, axis=1)
+        return left, right
+
+    def test_entry_point_buckets_populated(self):
+        eng = StereoEngine(MatcherConfig(), sync_timing=True)
+        left, right = self._pair()
+        eng.match(left, right)
+        eng.match(left, right)
+        assert eng.metrics["match_s"] > 0
+        s = eng.timings.summary()
+        assert s["match"]["count"] == 2
+        assert s["match"]["total_s"] >= eng.metrics["match_s"]
+
+    def test_profile_match_breakdown(self):
+        cfg = MatcherConfig()
+        eng = StereoEngine(cfg)
+        left, right = self._pair()
+        res, prof = eng.profile_match(left, right)
+        n = cfg.num_levels(64, 96)
+        # one bucket per level, coarsest..finest, with match + upsample
+        assert len(prof["levels"]) == n
+        for i in range(n):
+            lvl = prof["levels"][f"level_{i:02d}"]
+            assert lvl["match_s"] > 0
+            assert lvl["iterations"] == cfg.iters_for_level(i)
+            if i > 0:
+                assert "upsample_s" in lvl
+        assert prof["pyramid_build_s"] > 0
+        assert prof["total_s"] >= prof["match_total_s"]
+        assert eng.metrics["profile"] is prof
+        # staged results match the fused-jit entry point (chaos rule:
+        # quantile tolerance, not maxima)
+        base = eng.match(left, right)
+        dh_a = np.asarray(res.disparity_h)
+        dh_b = np.asarray(base.disparity_h)
+        assert np.quantile(np.abs(dh_a - dh_b), 0.9) < 0.35
+        assert abs(np.median(dh_a) - np.median(dh_b)) < 0.1

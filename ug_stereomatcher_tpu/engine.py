@@ -23,6 +23,7 @@ UG_GPU_matcher.cpp:203-213, 293-303).
 from __future__ import annotations
 
 import dataclasses
+import time
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -31,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ug_stereomatcher_tpu.config import MatcherConfig
+from ug_stereomatcher_tpu.profiling import Timings
 from ug_stereomatcher_tpu import match as match_mod
 from ug_stereomatcher_tpu import pyramid as pyr
 
@@ -109,12 +111,38 @@ def _check_fovea(cfg: MatcherConfig, height: int, width: int) -> None:
 
 
 class StereoEngine:
-    """Long-lived stereo matching engine with per-shape jit caching."""
+    """Long-lived stereo matching engine with per-shape jit caching.
 
-    def __init__(self, config: Optional[MatcherConfig] = None):
+    Instrumentation (the reference's ``excutionTime`` bucket array +
+    per-level clock_gettime logs, MatchGPULib.cpp:39, :1108-1117,
+    :1265-1269, made first-class):
+
+    * ``timings`` — cumulative per-entry-point wall-clock buckets
+      (:class:`profiling.Timings`).
+    * ``metrics`` — last-call snapshot: ``{entry}_s`` per entry point,
+      plus the per-phase/per-level breakdown after :meth:`profile_match`.
+    * ``sync_timing=True`` forces a scalar readback after each call so the
+      recorded time is true completion latency, not dispatch time
+      (``block_until_ready`` is unreliable on relayed backends); off by
+      default to keep the hot path free of host round-trips.
+    """
+
+    def __init__(self, config: Optional[MatcherConfig] = None,
+                 sync_timing: bool = False):
         self.config = config or MatcherConfig()
+        self.sync_timing = sync_timing
         self._cache: Dict[Tuple, object] = {}
-        self.metrics: Dict[str, float] = {}
+        self.timings = Timings()
+        self.metrics: Dict[str, object] = {}
+
+    # ------------------------------------------------------------------
+    def _record(self, name: str, t0: float, sync_on=None) -> None:
+        """Record one entry-point timing bucket + last-call metric."""
+        if self.sync_timing and sync_on is not None:
+            float(jnp.sum(sync_on))  # force completion (relay-safe sync)
+        dt = time.perf_counter() - t0
+        self.timings.record(name, dt)
+        self.metrics[f"{name}_s"] = round(dt, 6)
 
     # ------------------------------------------------------------------
     def _dtype(self):
@@ -142,7 +170,9 @@ class StereoEngine:
         h, w = left.shape[-2:]
         fn = self._jitted(("match", h, w, cfg), lambda: jax.jit(
             partial(self._match_impl, height=h, width=w)))
+        t0 = time.perf_counter()
         trip = fn(left, right)
+        self._record("match", t0, sync_on=trip[2])
         return MatchResult(trip[0], trip[1], trip[2])
 
     def _match_impl(self, left, right, *, height, width):
@@ -171,7 +201,9 @@ class StereoEngine:
         fov_h, fov_w = cfg.fovea_dims(h, w)
         fn = self._jitted(("fov", h, w, cfg), lambda: jax.jit(
             partial(self._match_foveated_impl, height=h, width=w)))
+        t0 = time.perf_counter()
         stack_h, stack_v, stack_c, stack_l, stack_r = fn(left, right)
+        self._record("match_foveated", t0, sync_on=stack_c)
         return FoveatedStackResult(
             stack_h=stack_h, stack_v=stack_v, stack_c=stack_c,
             stack_left=stack_l, stack_right=stack_r,
@@ -214,7 +246,9 @@ class StereoEngine:
         _check_fovea(cfg, h, w)
         fn = self._jitted(("hier", h, w, cfg), lambda: jax.jit(
             partial(self._match_hierarchical_impl, height=h, width=w)))
+        t0 = time.perf_counter()
         trip = fn(left, right)
+        self._record("match_hierarchical", t0, sync_on=trip[2])
         return MatchResult(trip[0], trip[1], trip[2])
 
     def _match_hierarchical_impl(self, left, right, *, height, width):
@@ -259,8 +293,93 @@ class StereoEngine:
             ("batch", lb.shape, self.config, mesh_key),
             lambda: make_batch_matcher(self.config, lb.shape[-2],
                                        lb.shape[-1], mesh))
+        t0 = time.perf_counter()
         out = fn(lb, rb)
+        self._record("match_batch", t0, sync_on=out[:, 2])
         return MatchResult(out[:, 0], out[:, 1], out[:, 2])
+
+    def profile_match(self, left, right) -> Tuple[MatchResult, Dict]:
+        """Mode-1 match with a per-phase / per-level timing breakdown.
+
+        Runs the same computation as :meth:`match` but split into separately
+        jitted stages (pyramid build, each level's refinement, each upsample)
+        with a forced scalar readback between stages, so each bucket is true
+        device latency — the programmatic form of the reference's per-level
+        logs (MatchGPULib.cpp:1265-1269) and ``excutionTime`` phase buckets
+        (:39, :1108-1117), and of the docs/PERF.md residual breakdown.
+
+        Per-stage sync serialises the pipeline, so the total runs slower
+        than :meth:`match` — use this for analysis, not serving.  Results
+        are identical to :meth:`match` (same staged math; only the jit
+        partitioning differs... up to XLA cross-stage fusion float noise —
+        compare with tolerances, per the chaos rule).
+
+        Returns ``(MatchResult, breakdown)`` and stores the breakdown at
+        ``self.metrics["profile"]``."""
+        cfg = self.config
+        left = _to_chw(left, self._dtype())
+        right = _to_chw(right, self._dtype())
+        _check_pair(left, right)
+        h, w = left.shape[-2:]
+        n = cfg.num_levels(h, w)
+        dims = match_mod.level_dims_for_matching(cfg, h, w, n, False)
+
+        def sync(x):
+            float(jnp.sum(x))
+
+        build = self._jitted(("prof_build", h, w, cfg), lambda: jax.jit(
+            partial(self._profile_build, n=n)))
+        levels: Dict[str, Dict[str, float]] = {}
+        t_all = time.perf_counter()
+
+        t0 = time.perf_counter()
+        lp, rp = build(left, right)
+        sync(lp[n - 1])
+        sync(rp[n - 1])
+        build_s = time.perf_counter() - t0
+
+        hh, ww = dims[n - 1]
+        disp = jnp.zeros((3, hh, ww), dtype=left.dtype)
+        trip = None
+        for i in range(n - 1, -1, -1):
+            step = self._jitted(("prof_level", i, dims[i], cfg),
+                                lambda i=i: jax.jit(partial(
+                                    match_mod.match_level, level_index=i,
+                                    cfg=cfg, is_coarsest=(i == n - 1))))
+            t0 = time.perf_counter()
+            disp = step(lp[i], rp[i], disp)
+            sync(disp)
+            lvl = {"match_s": round(time.perf_counter() - t0, 6),
+                   "height": dims[i][0], "width": dims[i][1],
+                   "iterations": cfg.iters_for_level(i)}
+            if i > 0:
+                h2, w2 = dims[i - 1]
+                up = self._jitted(("prof_up", dims[i], (h2, w2), cfg),
+                                  lambda h2=h2, w2=w2: jax.jit(partial(
+                                      pyr.upsample_to_level, out_h=h2,
+                                      out_w=w2, cfg=cfg)))
+                t0 = time.perf_counter()
+                disp = up(disp)
+                sync(disp)
+                lvl["upsample_s"] = round(time.perf_counter() - t0, 6)
+            levels[f"level_{i:02d}"] = lvl
+            trip = disp
+
+        breakdown = {
+            "pyramid_build_s": round(build_s, 6),
+            "levels": levels,
+            "match_total_s": round(sum(
+                v["match_s"] + v.get("upsample_s", 0.0)
+                for v in levels.values()), 6),
+            "total_s": round(time.perf_counter() - t_all, 6),
+        }
+        self.metrics["profile"] = breakdown
+        return MatchResult(trip[0], trip[1], trip[2]), breakdown
+
+    def _profile_build(self, left, right, *, n):
+        lp = pyr.build_pyramid(left, self.config, n)
+        rp = pyr.build_pyramid(right, self.config, n)
+        return tuple(lp), tuple(rp)
 
     def warmup(self, height: int, width: int, foveated: bool = False) -> None:
         """Pre-compile the pipeline for a given image size (first compiles
