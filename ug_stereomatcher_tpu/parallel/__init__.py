@@ -10,6 +10,10 @@ row all-gather for the disparity-driven warp.
 
 from ug_stereomatcher_tpu.parallel.mesh import make_mesh, mesh_shape_for
 from ug_stereomatcher_tpu.parallel.batch import batch_match
+from ug_stereomatcher_tpu.parallel.multihost import (
+    initialize_distributed,
+    pod_mesh,
+)
 from ug_stereomatcher_tpu.parallel.throughput import (
     ThroughputPoint,
     measure_throughput,
@@ -25,6 +29,8 @@ __all__ = [
     "make_mesh",
     "mesh_shape_for",
     "batch_match",
+    "initialize_distributed",
+    "pod_mesh",
     "ThroughputPoint",
     "measure_throughput",
     "halo_pad_rows",
