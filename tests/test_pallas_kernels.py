@@ -56,6 +56,81 @@ class TestWarpKernel:
         np.testing.assert_array_equal(out, np.asarray(img))
 
 
+class TestWarpOverflowGuard:
+    """The auto path must be exact even when the scene's disparity exceeds
+    the kernel window (match.warp_for_level's lax.cond fallback to the
+    unbounded XLA gather — warpAbyB parity, MatchLib.cu:499-549)."""
+
+    def _cfg(self, **kw):
+        from ug_stereomatcher_tpu.config import MatcherConfig
+        return MatcherConfig(**kw)
+
+    def test_over_window_scene_falls_back_exact(self):
+        h, w = 32, 512
+        img = jnp.asarray(RNG.rand(3, h, w).astype(np.float32))
+        # worst case: offsets far beyond both window axes
+        dh = jnp.asarray((RNG.rand(h, w).astype(np.float32)) * 80 + 300)
+        dv = jnp.asarray((RNG.rand(h, w).astype(np.float32)) * 10 + 12)
+        cfg = self._cfg(warp_max_dy=8, warp_max_dx=256)
+        out = np.asarray(match_mod.warp_for_level(img, dh, dv, cfg, 0,
+                                                  interpret=True))
+        ref = np.asarray(ops.warp_by_disparity(img, dh, dv))
+        np.testing.assert_array_equal(out, ref)
+
+    def test_vertical_only_overflow_detected(self):
+        h, w = 32, 256
+        img = jnp.asarray(RNG.rand(3, h, w).astype(np.float32))
+        dh = jnp.zeros((h, w), jnp.float32)
+        dv = jnp.full((h, w), 15.0, jnp.float32)  # > VH-1 = 7
+        cfg = self._cfg(warp_max_dy=8, warp_max_dx=256)
+        out = np.asarray(match_mod.warp_for_level(img, dh, dv, cfg, 0,
+                                                  interpret=True))
+        ref = np.asarray(ops.warp_by_disparity(img, dh, dv))
+        np.testing.assert_array_equal(out, ref)
+
+    def test_in_window_scene_still_windowed_and_exact(self):
+        h, w = 32, 384
+        img = jnp.asarray(RNG.rand(3, h, w).astype(np.float32))
+        dh = jnp.asarray((RNG.rand(h, w).astype(np.float32) - 0.5) * 60)
+        dv = jnp.asarray((RNG.rand(h, w).astype(np.float32) - 0.5) * 6)
+        cfg = self._cfg()
+        out = np.asarray(match_mod.warp_for_level(img, dh, dv, cfg, 0,
+                                                  interpret=True))
+        ref = np.asarray(ops.warp_by_disparity(img, dh, dv))
+        np.testing.assert_array_equal(out, ref)
+
+    def test_guard_disabled_clamps(self):
+        h, w = 16, 512
+        img = jnp.asarray(RNG.rand(h, w).astype(np.float32) + 1.0)
+        dh = jnp.full((h, w), -400.0, jnp.float32)
+        dv = jnp.zeros((h, w), jnp.float32)
+        cfg = self._cfg(warp_overflow_guard=False, warp_max_dy=4,
+                        warp_max_dx=128)
+        out = np.asarray(match_mod.warp_for_level(img[None], dh, dv, cfg, 0,
+                                                  interpret=True))[0]
+        ref = np.asarray(ops.warp_by_disparity(img, dh, dv))
+        assert not np.array_equal(out, ref)  # clamped, not exact
+        assert np.all(out >= 1.0)            # but clamps, never zero-fills
+
+    def test_window_reach_is_exact_boundary(self):
+        """At exactly the reach the windowed kernel must still be exact
+        (the guard's <= comparison leans on this)."""
+        from ug_stereomatcher_tpu.ops.pallas.warp import (
+            warp_nearest_windowed, window_reach)
+        v_reach, h_reach = window_reach(8, 256)
+        h, w = 32, 1024
+        img = jnp.asarray(RNG.rand(h, w).astype(np.float32))
+        for dh_v, dv_v in ((h_reach, 0.0), (-h_reach, 0.0),
+                           (0.0, v_reach), (0.0, -v_reach)):
+            dh = jnp.full((h, w), dh_v, jnp.float32)
+            dv = jnp.full((h, w), dv_v, jnp.float32)
+            out = np.asarray(warp_nearest_windowed(
+                img, dh, dv, max_dy=8, max_dx=256, tile_rows=8,
+                interpret=True))
+            ref = np.asarray(ops.warp_by_disparity(img, dh, dv))
+            np.testing.assert_array_equal(out, ref)
+
+
 class TestSmoothKernel:
     @pytest.mark.parametrize("n", [1, 5])
     def test_matches_xla_chain(self, n):

@@ -130,6 +130,12 @@ class MatcherConfig:
     # coarser levels (scene disparity shrinks with the pyramid).
     warp_max_dy: int = 8
     warp_max_dx: int = 256
+    # Overflow guard: per call, one cheap max|disp| reduction checks the
+    # live field against the window's exact reach and falls back to the
+    # exact XLA gather when any offset would clamp (keeps the auto path
+    # exact for out-of-window scenes — warpAbyB's gather is unbounded,
+    # MatchLib.cu:499-549).  Disable only to pin the windowed kernel.
+    warp_overflow_guard: bool = True
 
     def warp_window_for_level(self, level_index: int) -> Tuple[int, int]:
         """(max_dy, max_dx) for a pyramid level, with floors that keep the

@@ -61,13 +61,41 @@ def _use_pallas_warp(cfg: MatcherConfig, height: int, width: int) -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def warp_for_level(right, disp_h, disp_v, cfg: MatcherConfig,
+                   level_index: int, interpret: bool = False):
+    """Windowed Pallas warp with the overflow guard.
+
+    The windowed kernel clamps gather offsets beyond its search window —
+    for scenes whose true disparity exceeds the window the clamped result
+    would silently diverge from warpAbyB's unbounded texture gather
+    (MatchLib.cu:499-549).  With ``cfg.warp_overflow_guard`` (default) one
+    cheap max-reduction per call checks the live disparity field against
+    the window's exact reach and a ``lax.cond`` falls back to the exact
+    XLA gather whenever any offset would clamp, so the auto path is exact
+    for *all* scenes and fast for in-window ones."""
+    from ug_stereomatcher_tpu.ops.pallas.warp import (
+        warp_nearest_windowed, window_reach)
+    dy, dx = cfg.warp_window_for_level(level_index)
+
+    def windowed():
+        return warp_nearest_windowed(right, disp_h, disp_v,
+                                     max_dy=dy, max_dx=dx,
+                                     interpret=interpret)
+
+    if not cfg.warp_overflow_guard:
+        return windowed()
+    v_reach, h_reach = window_reach(dy, dx)
+    safe = ((jnp.max(jnp.abs(disp_v)) <= v_reach)
+            & (jnp.max(jnp.abs(disp_h)) <= h_reach))
+    return jax.lax.cond(
+        safe, windowed,
+        lambda: warp_by_disparity(right, disp_h, disp_v, "nearest"))
+
+
 def _warp(right, disp_h, disp_v, cfg: MatcherConfig, level_index: int):
     h, w = right.shape[-2:]
     if _use_pallas_warp(cfg, h, w):
-        from ug_stereomatcher_tpu.ops.pallas.warp import warp_nearest_windowed
-        dy, dx = cfg.warp_window_for_level(level_index)
-        return warp_nearest_windowed(right, disp_h, disp_v,
-                                     max_dy=dy, max_dx=dx)
+        return warp_for_level(right, disp_h, disp_v, cfg, level_index)
     return warp_by_disparity(right, disp_h, disp_v, cfg.interp)
 
 # Correlation search moves (MatchGPULib.cpp:1677): left, right, up, down,

@@ -33,6 +33,7 @@ clamp to the window edge (the caller scales the window by
 from __future__ import annotations
 
 import functools
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +46,25 @@ LANES = 128
 
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def window_reach(max_dy: int, max_dx: int) -> Tuple[float, float]:
+    """Largest |row offset| and |column offset| (in pixels) that
+    :func:`warp_nearest_windowed` resolves exactly for *every* pixel with
+    the given window parameters.
+
+    Vertical: candidates span +-VH rows, and ``floor(0.5 + dv)`` stays in
+    [-VH, VH] for |dv| <= VH - 1 (conservative by half a pixel).
+    Horizontal: the source-block window spans +-HBLK 128-lane blocks
+    around each pixel's own block, so any |dh| <= HBLK*128 - 1 lands in a
+    candidate block for every lane position within the block.  Offsets
+    beyond the reach CLAMP to the window edge — callers that need the
+    exact unbounded gather (warpAbyB's texture fetch, MatchLib.cu:499-549)
+    must detect ``max|disp| > reach`` and fall back (see
+    match.warp_for_level)."""
+    vh = _ceil_to(int(max_dy), 4)
+    hblk = max(1, -(-int(max_dx) // LANES))
+    return float(vh - 1), float(hblk * LANES - 1)
 
 
 def _warp_kernel(imgp_ref, dh_ref, dv_ref, out_ref, *, H, W, Wp, TH, VH,
