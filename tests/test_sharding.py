@@ -111,6 +111,25 @@ class TestBatch:
         np.testing.assert_allclose(out[0], np.asarray(ref.levels[0]),
                                    rtol=1e-4, atol=1e-4)
 
+    def test_batch_not_divisible_by_pairs_axis(self):
+        """Batches that don't divide the pairs axis pad with the last pair
+        and slice back — results must still equal the single-pair path."""
+        mesh = par.make_mesh(n_pairs_axis=4, n_rows_axis=1)
+        b, h, w = 6, 24, 32
+        left = RNG.rand(b, 3, h, w).astype(np.float32) * 255
+        right = RNG.rand(b, 3, h, w).astype(np.float32) * 255
+        cfg = MatcherConfig()
+        out = np.asarray(par.batch_match(left, right, cfg, mesh))
+        assert out.shape == (b, 3, h, w)
+        from ug_stereomatcher_tpu import pyramid as pyr
+        n = cfg.num_levels(h, w)
+        for i in (0, b - 1):
+            lp = pyr.build_pyramid(jnp.asarray(left[i]), cfg, n)
+            rp = pyr.build_pyramid(jnp.asarray(right[i]), cfg, n)
+            ref = match_mod.match_pyramid(lp, rp, cfg, (h, w))
+            np.testing.assert_allclose(out[i], np.asarray(ref.levels[0]),
+                                       rtol=1e-4, atol=1e-4)
+
     def test_mesh_shape_heuristic(self):
         assert par.mesh_shape_for(8, n_pairs=16) == (8, 1)
         p, r = par.mesh_shape_for(8, n_pairs=2)

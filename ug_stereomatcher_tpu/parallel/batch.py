@@ -2,9 +2,18 @@
 
 Shards a batch of stereo pairs across the 'pairs' mesh axis — the TPU-native
 counterpart of running the Glasgow 80-pair database through the matcher
-(SURVEY.md §2.5 'pair-batch data parallelism').  The per-pair pipeline is
-vmapped; GSPMD partitions the batch axis, so no cross-pair communication is
-needed (embarrassingly parallel over ICI/DCN).
+(SURVEY.md §2.5 'pair-batch data parallelism').  No cross-pair communication
+is needed (embarrassingly parallel over ICI/DCN).
+
+Dispatch shape: each device's local batch runs through ``lax.map`` (a scan —
+one trace, sequential execution), NOT ``vmap``.  The fused Pallas kernels
+use ANY-memory-space inputs with manual DMA, which Pallas cannot auto-batch
+under vmap; mapping instead of vectorising keeps the batched path on the
+same fast fused kernels as the single-pair engine (the round-1 version
+pinned ``warp_backend="xla"`` here and surrendered ~an order of magnitude
+exactly where throughput matters).  Cross-pair parallelism comes from the
+mesh's 'pairs' axis via ``shard_map``; within a device, a pair already
+saturates the chip at the resolutions that matter.
 """
 
 from __future__ import annotations
@@ -14,23 +23,21 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ug_stereomatcher_tpu.config import MatcherConfig
+from ug_stereomatcher_tpu.parallel.spatial import shard_map
 from ug_stereomatcher_tpu import match as match_mod
 from ug_stereomatcher_tpu import pyramid as pyr
 
 
 def _single_pair(left, right, cfg: MatcherConfig, height: int, width: int):
-    # The Pallas kernels use ANY-memory-space inputs with manual DMA, which
-    # Pallas cannot auto-batch under vmap — the batched path runs the
-    # (vmap-compatible) XLA ops instead.
-    import dataclasses
-    cfg = dataclasses.replace(cfg, warp_backend="xla")
     n = cfg.num_levels(height, width)
     lp = pyr.build_pyramid(left, cfg, n)
     rp = pyr.build_pyramid(right, cfg, n)
-    res = match_mod.match_pyramid(lp, rp, cfg, (height, width), foveated=False)
+    res = match_mod.match_pyramid(lp, rp, cfg, (height, width),
+                                  foveated=False)
     return res.levels[0]
 
 
@@ -39,11 +46,35 @@ def make_batch_matcher(cfg: MatcherConfig, height: int, width: int,
     """Build a reusable jitted batch matcher: (B,3,H,W) x2 -> (B,3,H,W).
 
     Build it once and call it per batch — a fresh jax.jit wrapper per call
-    would re-trace the whole pyramid each time."""
-    fn = jax.vmap(partial(_single_pair, cfg=cfg, height=height, width=width))
-    if mesh is not None:
-        spec = NamedSharding(mesh, P("pairs"))
-        return jax.jit(fn, in_shardings=(spec, spec), out_shardings=spec)
+    would re-trace the whole pyramid each time.  With a mesh, the batch
+    axis shards over 'pairs' (batches that don't divide the axis are padded
+    with the last pair and sliced back)."""
+    single = partial(_single_pair, cfg=cfg, height=height, width=width)
+
+    def local_map(lb, rb):
+        return lax.map(lambda pair: single(pair[0], pair[1]), (lb, rb))
+
+    if mesh is None:
+        return jax.jit(local_map)
+
+    n_pairs = mesh.shape["pairs"]
+    spec = P("pairs")
+    sharded = shard_map(local_map, mesh=mesh, in_specs=(spec, spec),
+                        out_specs=spec)
+
+    def fn(lb, rb):
+        b = lb.shape[0]
+        pad = (-b) % n_pairs
+        if pad:
+            lb = jnp.concatenate([lb, jnp.broadcast_to(
+                lb[-1:], (pad,) + lb.shape[1:])])
+            rb = jnp.concatenate([rb, jnp.broadcast_to(
+                rb[-1:], (pad,) + rb.shape[1:])])
+        return sharded(lb, rb)[:b]
+
+    # no explicit in_shardings: an uneven batch can't satisfy a P('pairs')
+    # input constraint — the shard_map inside the jit pins the (padded)
+    # batch layout and GSPMD inserts the reshard
     return jax.jit(fn)
 
 
