@@ -93,6 +93,96 @@ class TestShardedLevel:
                                    rtol=1e-4, atol=1e-4)
 
 
+class TestFusedShardedLevel:
+    """The fused Pallas kernels inside shard_map (row_halo mode) must match
+    the single-device engine — this is the path that keeps multi-chip at
+    single-chip per-pixel speed."""
+
+    def test_fused_matches_unsharded(self, mesh4):
+        h, w = 64, 144
+        left = RNG.rand(3, h, w).astype(np.float32) * 255
+        right = RNG.rand(3, h, w).astype(np.float32) * 255
+        disp = (RNG.rand(3, h, w).astype(np.float32) - 0.5)
+        cfg = MatcherConfig()
+        ref = np.asarray(match_mod.match_level(
+            jnp.asarray(left), jnp.asarray(right), jnp.asarray(disp),
+            1, cfg, False))
+        out = np.asarray(par.sharded_match_level(
+            jnp.asarray(left), jnp.asarray(right), jnp.asarray(disp),
+            1, cfg, False, mesh4, use_fused=True, interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+    def test_fused_coarsest_level_replace_path(self, mesh4):
+        # coarsest-level first-iteration confidence replace + 22-iteration
+        # schedule, on a level index >= 6
+        h, w = 48, 160
+        left = RNG.rand(3, h, w).astype(np.float32) * 255
+        right = RNG.rand(3, h, w).astype(np.float32) * 255
+        disp = np.zeros((3, h, w), np.float32)
+        cfg = MatcherConfig(level_cutoff=4)  # keep runtime sane
+        ref = np.asarray(match_mod.match_level(
+            jnp.asarray(left), jnp.asarray(right), jnp.asarray(disp),
+            6, cfg, True))
+        out = np.asarray(par.sharded_match_level(
+            jnp.asarray(left), jnp.asarray(right), jnp.asarray(disp),
+            6, cfg, True, mesh4, use_fused=True, interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+    def test_fused_overflow_guard_falls_back_globally(self, mesh4):
+        """A disparity overflow in ANY shard must push every shard onto the
+        exact all-gather warp (the guard reduces with pmax)."""
+        h, w = 32, 144
+        left = RNG.rand(3, h, w).astype(np.float32) * 255
+        right = RNG.rand(3, h, w).astype(np.float32) * 255
+        disp = np.zeros((3, h, w), np.float32)
+        disp[0, 2, 3] = 900.0   # single out-of-window offset, shard 0
+        disp[2] = 0.5
+        cfg = MatcherConfig()
+        ref = np.asarray(match_mod.match_level(
+            jnp.asarray(left), jnp.asarray(right), jnp.asarray(disp),
+            0, cfg, False))
+        out = np.asarray(par.sharded_match_level(
+            jnp.asarray(left), jnp.asarray(right), jnp.asarray(disp),
+            0, cfg, False, mesh4, use_fused=True, interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+    def test_halo_too_big_falls_back_to_unfused(self, mesh4):
+        # 16 rows over 4 shards -> hl=4 < smooth halo; must silently use
+        # the unfused body and still be exact
+        h, w = 16, 26
+        left = RNG.rand(3, h, w).astype(np.float32) * 255
+        right = RNG.rand(3, h, w).astype(np.float32) * 255
+        disp = (RNG.rand(3, h, w).astype(np.float32) - 0.5)
+        cfg = MatcherConfig()
+        ref = np.asarray(match_mod.match_level(
+            jnp.asarray(left), jnp.asarray(right), jnp.asarray(disp),
+            1, cfg, False))
+        out = np.asarray(par.sharded_match_level(
+            jnp.asarray(left), jnp.asarray(right), jnp.asarray(disp),
+            1, cfg, False, mesh4, use_fused=True, interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def test_fused_full_pair(self, mesh4):
+        """Coarse-to-fine with the fused body forced on every shardable
+        level — the complete multi-chip fused pipeline."""
+        h, w = 64, 160
+        left = RNG.rand(3, h, w).astype(np.float32) * 255
+        right = np.roll(left, 2, axis=-1)
+        cfg = MatcherConfig()
+        from ug_stereomatcher_tpu import pyramid as pyr
+        n = cfg.num_levels(h, w)
+        lp = pyr.build_pyramid(jnp.asarray(left), cfg, n)
+        rp = pyr.build_pyramid(jnp.asarray(right), cfg, n)
+        ref = match_mod.match_pyramid(lp, rp, cfg, (h, w))
+        out = par.sharded_match_pair(jnp.asarray(left), jnp.asarray(right),
+                                     cfg, mesh4, min_rows_per_shard=8,
+                                     use_fused=True, interpret=True)
+        d = np.abs(np.asarray(out.levels[0]) - np.asarray(ref.levels[0]))
+        # free-running chaos rule: quantile criteria, not maxima
+        assert np.median(d) < 0.05
+        assert (d > 0.5).mean() < 0.05
+
+
 class TestBatch:
     def test_batch_match_data_parallel(self):
         mesh = par.make_mesh(n_pairs_axis=4, n_rows_axis=1)

@@ -48,8 +48,8 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _direction_kernel(left_ref, warped_ref, bl2_ref, disp_ref, thr_ref,
-                      replace_ref, out_ref, *, H, W, TH, TW, taps, ni, nj,
-                      consts):
+                      replace_ref, row0_ref, out_ref, *, H, W, TH, TW, taps,
+                      ni, nj, consts):
     g = pl.program_id(0)
     i = g // nj
     j = g % nj
@@ -57,6 +57,11 @@ def _direction_kernel(left_ref, warped_ref, bl2_ref, disp_ref, thr_ref,
     c0 = j * TW
     bh = TH + 2 * HALO
     bw = TW + 2 * HW
+    # global row of this tile's first output row (0 unsharded; the shard
+    # offset when the caller row-shards the image) — all boundary masks
+    # below are evaluated in GLOBAL coordinates so a shard's interior
+    # block edge is never mistaken for the image edge
+    row0 = row0_ref[0, 0]
 
     def body(lbuf, wbuf, sem):
         for c in range(3):
@@ -73,7 +78,7 @@ def _direction_kernel(left_ref, warped_ref, bl2_ref, disp_ref, thr_ref,
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
-        g_r = rows + (r0 - HALO)
+        g_r = rows + (r0 - HALO) + row0
         g_c = cols + (c0 - HW)
         inside = ((g_r >= 0) & (g_r <= H - 1) & (g_c >= 0)
                   & (g_c <= W - 1)).astype(jnp.float32)
@@ -85,7 +90,7 @@ def _direction_kernel(left_ref, warped_ref, bl2_ref, disp_ref, thr_ref,
         bot_pad = g_r > H - 1
         left_pad = g_c < 0
         right_pad = g_c > W - 1
-        touches_edge = ((r0 - HALO < 0) | (r0 + TH + HALO > H)
+        touches_edge = ((r0 + row0 - HALO < 0) | (r0 + row0 + TH + HALO > H)
                         | (c0 - HW < 0) | (c0 + TW + HW > W))
 
         def shifted(x, dy, dx):
@@ -170,13 +175,15 @@ def lax_slice_center(x, TH, TW):
 
 
 @functools.partial(jax.jit, static_argnames=("tile_rows", "tile_cols",
-                                             "interpret", "consts"))
+                                             "interpret", "consts",
+                                             "row_halo", "global_h"))
 def fused_direction_update(left: jnp.ndarray, warped: jnp.ndarray,
                            blurred_l2: jnp.ndarray, disp: jnp.ndarray,
                            threshold, replace_conf,
                            tile_rows: int = 64, tile_cols: int = 512,
                            consts=(0.4, 0.3, 0.7, 0.75, 0.25),
-                           interpret: bool = False) -> jnp.ndarray:
+                           interpret: bool = False, row_halo: bool = False,
+                           row0=None, global_h: int = None) -> jnp.ndarray:
     """One fused correlate->parabola->update step.
 
     left/warped/blurred_l2: (3, H, W); disp: (3, H, W) state; threshold:
@@ -184,20 +191,37 @@ def fused_direction_update(left: jnp.ndarray, warped: jnp.ndarray,
     first iteration -> confidence replaced instead of blended); consts:
     (conf_no_peak, conf_affine_scale, conf_affine_bias, conf_blend_new,
     conf_blend_old) from MatcherConfig.
-    Returns the updated (3, H, W) state (pre-smoothing)."""
-    _, H, W = left.shape
+    Returns the updated (3, H, W) state (pre-smoothing).
+
+    Row-sharded mode (``row_halo=True``): left/warped are local row blocks
+    with HALO REAL rows attached above and below (neighbour rows via
+    ``ppermute``, boundary rows already in clamp/edge form);
+    blurred_l2/disp are the plain (3, Hl, W) local blocks; ``row0`` is the
+    block's global first row (traced) and ``global_h`` the image height.
+    Boundary masks then resolve in global coordinates, making each shard's
+    output exactly the matching row slice of the unsharded kernel."""
+    Hl = disp.shape[-2]
+    W = disp.shape[-1]
+    H = int(global_h) if row_halo else Hl
     TH = tile_rows
     TW = min(tile_cols, _ceil_to(W, 128))
-    Hp = _ceil_to(H, TH)
+    Hp = _ceil_to(Hl, TH)
     Wp = _ceil_to(W, TW)
     ni, nj = Hp // TH, Wp // TW
 
-    def pad_halo(x):
-        return jnp.pad(x, ((0, 0), (HALO, HALO + (Hp - H)),
-                           (HW, HW + (Wp - W))), mode="edge")
+    if row_halo:
+        def pad_halo(x):   # vertical halo already real; align + widen only
+            return jnp.pad(x, ((0, 0), (0, Hp - Hl), (HW, HW + (Wp - W))),
+                           mode="edge")
+        r0v = jnp.asarray(row0, jnp.int32).reshape(1, 1)
+    else:
+        def pad_halo(x):
+            return jnp.pad(x, ((0, 0), (HALO, HALO + (Hp - Hl)),
+                               (HW, HW + (Wp - W))), mode="edge")
+        r0v = jnp.zeros((1, 1), jnp.int32)
 
     def pad_tile(x):
-        return jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W)))
+        return jnp.pad(x, ((0, 0), (0, Hp - Hl), (0, Wp - W)))
 
     thr = jnp.full((1, 1), threshold, jnp.float32)
     rep = jnp.full((1, 1), replace_conf, jnp.int32)
@@ -218,11 +242,12 @@ def fused_direction_update(left: jnp.ndarray, warped: jnp.ndarray,
                          memory_space=pltpu.VMEM),  # disp state
             pl.BlockSpec(memory_space=pltpu.SMEM),  # threshold
             pl.BlockSpec(memory_space=pltpu.SMEM),  # replace flag
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # global row offset
         ],
         out_specs=pl.BlockSpec((3, TH, TW), lambda g: (0, g // nj, g % nj),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, Hp, Wp), jnp.float32),
         interpret=interpret,
     )(pad_halo(left), pad_halo(warped), pad_tile(blurred_l2),
-      pad_tile(disp), thr, rep)
-    return out[:, :H, :W]
+      pad_tile(disp), thr, rep, r0v)
+    return out[:, :Hl, :W]

@@ -43,9 +43,12 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _smooth_kernel(inp_ref, out_ref, bufs2, sems, *, H, W, TH, TW, HALO,
-                   n_passes, ni, nj):
+def _smooth_kernel(inp_ref, row0_ref, out_ref, bufs2, sems, *, H, W, TH, TW,
+                   HALO, n_passes, ni, nj):
     g = pl.program_id(0)
+    # global row of this tile's first output row (0 unsharded; the shard
+    # offset in row-sharded mode) — boundary masks resolve globally
+    row0 = row0_ref[0, 0]
     n_tiles = ni * nj
     bh = TH + 2 * HALO
     bw = TW + 2 * HW
@@ -75,7 +78,7 @@ def _smooth_kernel(inp_ref, out_ref, bufs2, sems, *, H, W, TH, TW, HALO,
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
-    g_r = rows + (r0 - HALO)
+    g_r = rows + (r0 - HALO) + row0
     g_c = cols + (c0 - HW)
     keep = (g_r == 0) | (g_c == 0)
     top_pad = g_r < 0
@@ -87,9 +90,9 @@ def _smooth_kernel(inp_ref, out_ref, bufs2, sems, *, H, W, TH, TW, HALO,
     is_left_edge = (g_c == 0).astype(jnp.float32)
     is_right_edge = (g_c == W - 1).astype(jnp.float32)
     # Does this tile's buffer contain any out-of-image pad cells?
-    touches_edge = ((r0 - HALO < 0) | (r0 + TH + HALO > H)
+    touches_edge = ((r0 + row0 - HALO < 0) | (r0 + row0 + TH + HALO > H)
                     | (c0 - HW < 0) | (c0 + TW + HW > W))
-    touches_origin = (r0 == 0) | (c0 == 0)
+    touches_origin = (r0 + row0 == 0) | (c0 == 0)
 
     def reclamp(x):
         """Rewrite pad cells with the current edge values (clamp semantics
@@ -149,33 +152,59 @@ def _smooth_kernel(inp_ref, out_ref, bufs2, sems, *, H, W, TH, TW, HALO,
         out_ref[c, :, :] = y[HALO:HALO + TH, HW:HW + TW]
 
 
+def smooth_halo_rows(n_passes: int) -> int:
+    """Vertical halo rows the fused smoother needs for ``n_passes``."""
+    return _ceil_to(n_passes + 1, 4)   # keep DMA slice height 8-aligned
+
+
 @functools.partial(jax.jit, static_argnames=("n_passes", "tile_rows",
-                                             "tile_cols", "interpret"))
+                                             "tile_cols", "interpret",
+                                             "row_halo", "global_h"))
 def fused_smooth_average(state: jnp.ndarray, n_passes: int,
                          tile_rows: int = 64, tile_cols: int = 1024,
-                         interpret: bool = False) -> jnp.ndarray:
+                         interpret: bool = False, row_halo: bool = False,
+                         row0=None, global_h: int = None) -> jnp.ndarray:
     """Apply n_passes weighted smoothing passes + the 3-tap average filter
-    to a (3, H, W) [disp_h, disp_v, conf] stack in one fused kernel."""
-    _, H, W = state.shape
-    HALO = _ceil_to(n_passes + 1, 4)   # keep DMA slice height 8-aligned
+    to a (3, H, W) [disp_h, disp_v, conf] stack in one fused kernel.
+
+    Row-sharded mode (``row_halo=True``): ``state`` is a local row block
+    with smooth_halo_rows(n_passes) REAL halo rows attached above and below
+    (neighbour rows via ``ppermute``; global boundary rows already in
+    clamp/edge form); ``row0`` is the block's global first row (traced)
+    and ``global_h`` the image height.  Output is the (3, Hl, W) local
+    block — exactly the matching row slice of the unsharded kernel."""
+    HALO = smooth_halo_rows(n_passes)
     if HALO > HW:
         raise ValueError(
             f"n_passes={n_passes} needs a {HALO}-wide halo but the fixed "
             f"horizontal halo is {HW}; use the unfused smoothing chain")
+    if row_halo:
+        Hl = state.shape[-2] - 2 * HALO
+    else:
+        Hl = state.shape[-2]
+    W = state.shape[-1]
+    H = int(global_h) if row_halo else Hl
     TH = tile_rows
     TW = min(tile_cols, _ceil_to(W, 128))
-    Hp = _ceil_to(H, TH)
+    Hp = _ceil_to(Hl, TH)
     Wp = _ceil_to(W, TW)
     ni, nj = Hp // TH, Wp // TW
-    inp = jnp.pad(state,
-                  ((0, 0), (HALO, HALO + (Hp - H)), (HW, HW + (Wp - W))),
-                  mode="edge")
+    if row_halo:
+        inp = jnp.pad(state, ((0, 0), (0, Hp - Hl), (HW, HW + (Wp - W))),
+                      mode="edge")
+        r0v = jnp.asarray(row0, jnp.int32).reshape(1, 1)
+    else:
+        inp = jnp.pad(
+            state, ((0, 0), (HALO, HALO + (Hp - Hl)), (HW, HW + (Wp - W))),
+            mode="edge")
+        r0v = jnp.zeros((1, 1), jnp.int32)
     kernel = functools.partial(_smooth_kernel, H=H, W=W, TH=TH, TW=TW,
                                HALO=HALO, n_passes=n_passes, ni=ni, nj=nj)
     out = pl.pallas_call(
         kernel,
         grid=(ni * nj,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec((3, TH, TW),
                                lambda g: (0, g // nj, g % nj),
                                memory_space=pltpu.VMEM),
@@ -185,5 +214,5 @@ def fused_smooth_average(state: jnp.ndarray, n_passes: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(inp)
-    return out[:, :H, :W]
+    )(inp, r0v)
+    return out[:, :Hl, :W]

@@ -48,6 +48,12 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def warp_halo_rows(max_dy: int) -> int:
+    """Vertical halo rows (VH) the windowed kernel uses for ``max_dy`` —
+    row-sharded callers must attach exactly this many real neighbour rows."""
+    return _ceil_to(int(max_dy), 4)
+
+
 def window_reach(max_dy: int, max_dx: int) -> Tuple[float, float]:
     """Largest |row offset| and |column offset| (in pixels) that
     :func:`warp_nearest_windowed` resolves exactly for *every* pixel with
@@ -67,11 +73,16 @@ def window_reach(max_dy: int, max_dx: int) -> Tuple[float, float]:
     return float(vh - 1), float(hblk * LANES - 1)
 
 
-def _warp_kernel(imgp_ref, dh_ref, dv_ref, out_ref, *, H, W, Wp, TH, VH,
-                 HBLK, n_cblk):
+def _warp_kernel(imgp_ref, dh_ref, dv_ref, row0_ref, out_ref, *, H, W, Wp,
+                 TH, VH, HBLK, n_cblk):
     c = pl.program_id(0)   # channel (grid = (C, Hp/TH))
     i = pl.program_id(1)   # row-tile index
     r0 = i * TH
+    # global row of this block's first output row: 0 for the unsharded
+    # path; the shard's row offset when the caller row-shards the image
+    # (the buffer stays locally indexed — only the gather target row and
+    # the clamp range are global)
+    row0 = row0_ref[0, 0]
 
     def body(buf, sem):
         cp = pltpu.make_async_copy(
@@ -86,11 +97,11 @@ def _warp_kernel(imgp_ref, dh_ref, dv_ref, out_ref, *, H, W, Wp, TH, VH,
             c0 = pl.multiple_of(cblk * LANES, LANES)
             dvb = dv_ref[:, pl.ds(c0, LANES)]
             dhb = dh_ref[:, pl.ds(c0, LANES)]
-            ys = rloc.astype(jnp.float32) + (r0 + 0.5) + dvb
+            ys = (rloc + row0).astype(jnp.float32) + (r0 + 0.5) + dvb
             xs = (cloc + c0).astype(jnp.float32) + 0.5 + dhb
             iyb = jnp.clip(jnp.floor(ys), 0, H - 1).astype(jnp.int32)
             ixb = jnp.clip(jnp.floor(xs), 0, W - 1).astype(jnp.int32)
-            kb = jnp.clip(iyb - (r0 + rloc), -VH, VH)
+            kb = jnp.clip(iyb - (r0 + row0 + rloc), -VH, VH)
             lo = jnp.maximum(c0 - HBLK * LANES, 0)
             hi = jnp.minimum(c0 + HBLK * LANES, Wp - LANES)
             # clamp the horizontal read into the reachable window so every
@@ -130,31 +141,51 @@ def _warp_kernel(imgp_ref, dh_ref, dv_ref, out_ref, *, H, W, Wp, TH, VH,
 
 
 @functools.partial(jax.jit, static_argnames=("max_dy", "max_dx", "tile_rows",
-                                             "interpret"))
+                                             "interpret", "row_halo",
+                                             "global_h"))
 def warp_nearest_windowed(img: jnp.ndarray, disp_x: jnp.ndarray,
                           disp_y: jnp.ndarray, max_dy: int = 8,
                           max_dx: int = 256, tile_rows: int = 32,
-                          interpret: bool = False) -> jnp.ndarray:
+                          interpret: bool = False, row_halo: bool = False,
+                          row0=None, global_h: int = None) -> jnp.ndarray:
     """Windowed nearest warp.  img: (C, H, W) or (H, W); disp_x/disp_y:
     (H, W).  Exact vs the XLA gather for |row offset| <= max_dy and column
     offsets within the +-ceil(max_dx/128) source-block window; larger
-    offsets clamp to the window edge."""
+    offsets clamp to the window edge.
+
+    Row-sharded mode (``row_halo=True``): ``img`` is a local row block with
+    VH = ceil4(max_dy) REAL halo rows already attached above and below
+    (neighbour rows from a prior ``ppermute``), disp_x/disp_y are the local
+    (Hl, W) block, ``row0`` is the block's global first row (traced) and
+    ``global_h`` the full image height.  Gather targets and clamps then use
+    global coordinates, so each shard's output is exactly the matching row
+    slice of the unsharded warp."""
     squeeze = img.ndim == 2
     if squeeze:
         img = img[None]
-    C, H, W = img.shape
     TH = tile_rows
     # TH + 2*VH (the DMA slice height) must stay sublane-aligned (8 rows)
     VH = _ceil_to(int(max_dy), 4)
     HBLK = max(1, -(-int(max_dx) // LANES))
-    Hp = _ceil_to(H, TH)
+    C = img.shape[0]
+    Hl = disp_x.shape[0]          # output rows (local block in halo mode)
+    W = disp_x.shape[1]
+    H = int(global_h) if row_halo else Hl   # clamp range = global image
+    Hp = _ceil_to(Hl, TH)
     Wp = _ceil_to(W, LANES)
     n_cblk = Wp // LANES
 
-    imgp = jnp.pad(img, ((0, 0), (VH, VH + (Hp - H)), (0, Wp - W)),
-                   mode="edge")
-    dhp = jnp.pad(disp_x, ((0, Hp - H), (0, Wp - W)))
-    dvp = jnp.pad(disp_y, ((0, Hp - H), (0, Wp - W)))
+    if row_halo:
+        # halo rows are real data; only add tile alignment + lane padding
+        imgp = jnp.pad(img, ((0, 0), (0, Hp - Hl), (0, Wp - W)),
+                       mode="edge")
+        r0v = jnp.asarray(row0, jnp.int32).reshape(1, 1)
+    else:
+        imgp = jnp.pad(img, ((0, 0), (VH, VH + (Hp - Hl)), (0, Wp - W)),
+                       mode="edge")
+        r0v = jnp.zeros((1, 1), jnp.int32)
+    dhp = jnp.pad(disp_x, ((0, Hp - Hl), (0, Wp - W)))
+    dvp = jnp.pad(disp_y, ((0, Hp - Hl), (0, Wp - W)))
 
     kernel = functools.partial(_warp_kernel, H=H, W=W, Wp=Wp, TH=TH, VH=VH,
                                HBLK=HBLK, n_cblk=n_cblk)
@@ -167,11 +198,12 @@ def warp_nearest_windowed(img: jnp.ndarray, disp_x: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TH, Wp), lambda c, i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, TH, Wp), lambda c, i: (c, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C, Hp, Wp), jnp.float32),
         interpret=interpret,
-    )(imgp, dhp, dvp)
-    out = out[:, :H, :W]
+    )(imgp, dhp, dvp, r0v)
+    out = out[:, :Hl, :W]
     return out[0] if squeeze else out

@@ -193,7 +193,111 @@ def _sharded_warp(right: jnp.ndarray, disp_x: jnp.ndarray,
 
 
 # ----------------------------------------------------------------------
-# Row-sharded level engine
+# Row-sharded level engine — fused (Pallas) body
+# ----------------------------------------------------------------------
+
+def _fused_level_body(left, right, disp0, *, cfg: MatcherConfig,
+                      level_index: int, is_coarsest: bool, true_h: int,
+                      axis_name: str, interpret: bool):
+    """shard_map body running the FUSED Pallas kernels on row blocks.
+
+    The kernels' row-sharded mode (``row_halo=True``) takes pre-haloed
+    local blocks plus the shard's global row offset, so every boundary
+    mask resolves in global coordinates: halo exchange (``ppermute`` via
+    halo_pad_rows) feeds each kernel exactly the rows its stencil reaches,
+    and the per-shard output is the matching row slice of the single-device
+    fused engine.  This keeps multi-chip at single-chip per-pixel speed —
+    the round-1 sharded path re-derived the *unfused* XLA chain here and
+    scaled the slow engine."""
+    from ug_stereomatcher_tpu.ops.pallas.direction import (
+        HALO as DIR_HALO, fused_direction_update)
+    from ug_stereomatcher_tpu.ops.pallas.smooth import (
+        fused_smooth_average, smooth_halo_rows)
+    from ug_stereomatcher_tpu.ops.pallas.warp import (
+        warp_halo_rows, warp_nearest_windowed, window_reach)
+
+    mi = cfg.iters_for_level(level_index)
+    n_smooth = cfg.smooth_passes_for_level(level_index)
+    thresholds = jnp.asarray(cfg.threshold_schedule(mi), dtype=left.dtype)
+    hl = left.shape[-2]
+    row0 = lax.axis_index(axis_name) * hl
+
+    dy, dx = cfg.warp_window_for_level(level_index)
+    vh = warp_halo_rows(dy)
+    v_reach, h_reach = window_reach(dy, dx)
+    sm_halo = smooth_halo_rows(n_smooth)
+
+    # Iteration-invariant: blurred left energy + the left image's halo'd
+    # block (the kernels re-read it every iteration; the halo doesn't move).
+    blurred_l2 = sharded_conv_separable(left * left, _GAUSS, axis_name,
+                                        "clamp", true_h)
+    left_r = _refresh_pad(left, true_h, axis_name, "clamp")
+    left_h = halo_pad_rows(left_r, DIR_HALO, axis_name, "clamp")
+    right_r = _refresh_pad(right, true_h, axis_name, "clamp")
+    right_h = halo_pad_rows(right_r, vh, axis_name, "clamp")
+
+    consts = (cfg.conf_no_peak, cfg.conf_affine_scale,
+              cfg.conf_affine_bias, cfg.conf_blend_new, cfg.conf_blend_old)
+
+    def body(carry, inputs):
+        disp_h, disp_v, conf = carry
+        m, threshold = inputs
+
+        def windowed():
+            return warp_nearest_windowed(
+                right_h, disp_h, disp_v, max_dy=dy, max_dx=dx,
+                interpret=interpret, row_halo=True, row0=row0,
+                global_h=true_h)
+
+        if cfg.warp_overflow_guard:
+            # the guard must see the GLOBAL maximum — another shard's
+            # overflow changes this shard's rows via the halo feedback
+            mv = lax.pmax(jnp.max(jnp.abs(disp_v)), axis_name)
+            mh = lax.pmax(jnp.max(jnp.abs(disp_h)), axis_name)
+            safe = (mv <= v_reach) & (mh <= h_reach)
+            warped = lax.cond(
+                safe, windowed,
+                lambda: _sharded_warp(right, disp_h, disp_v, axis_name,
+                                      true_h, "nearest"))
+        else:
+            warped = windowed()
+
+        warped_r = _refresh_pad(warped, true_h, axis_name, "clamp")
+        warped_h = halo_pad_rows(warped_r, DIR_HALO, axis_name, "clamp")
+        replace = (m == 0) if is_coarsest else jnp.int32(0)
+        state = fused_direction_update(
+            left_h, warped_h, blurred_l2,
+            jnp.stack([disp_h, disp_v, conf]), threshold, replace,
+            consts=consts, interpret=interpret, row_halo=True, row0=row0,
+            global_h=true_h)
+
+        state = _refresh_pad(state, true_h, axis_name, "clamp")
+        state_h = halo_pad_rows(state, sm_halo, axis_name, "clamp")
+        state = fused_smooth_average(
+            state_h, n_passes=n_smooth, interpret=interpret, row_halo=True,
+            row0=row0, global_h=true_h)
+        return (state[0], state[1], state[2]), None
+
+    init = (disp0[0], disp0[1], disp0[2])
+    ms = jnp.arange(mi)
+    (dh, dv, cf), _ = jax.lax.scan(body, init, (ms, thresholds))
+    return jnp.stack([dh, dv, cf])
+
+
+def _fused_shardable(cfg: MatcherConfig, level_index: int, hl: int) -> bool:
+    """The fused body's halo exchanges need each halo to fit in one
+    neighbour block."""
+    from ug_stereomatcher_tpu.ops.pallas.smooth import smooth_halo_rows
+    from ug_stereomatcher_tpu.ops.pallas.warp import warp_halo_rows
+    from ug_stereomatcher_tpu.ops.pallas.direction import HALO as DIR_HALO
+    dy, _ = cfg.warp_window_for_level(level_index)
+    need = max(warp_halo_rows(dy), DIR_HALO,
+               smooth_halo_rows(cfg.smooth_passes_for_level(level_index)))
+    return hl >= need
+
+
+# ----------------------------------------------------------------------
+# Row-sharded level engine — unfused (pure-XLA) body
 # ----------------------------------------------------------------------
 
 def _level_body(left, right, disp0, *, cfg: MatcherConfig, level_index: int,
@@ -265,13 +369,34 @@ def _level_body(left, right, disp0, *, cfg: MatcherConfig, level_index: int,
     return jnp.stack([dh, dv, cf])
 
 
+def _use_fused_body(cfg: MatcherConfig, level_index: int, true_h: int,
+                    w: int, hl: int, use_fused: Optional[bool]) -> bool:
+    """Resolve whether the shard_map body runs the fused Pallas kernels.
+
+    Auto (None) mirrors the single-device gates (match._use_pallas_stencil
+    / _use_pallas_warp on the GLOBAL level size — per-pixel work is what
+    the kernels accelerate) plus the halo-fits-in-neighbour constraint."""
+    if not _fused_shardable(cfg, level_index, hl):
+        return False
+    if use_fused is not None:
+        return use_fused
+    return (match_mod._use_pallas_stencil(cfg, true_h, w)
+            and match_mod._use_pallas_warp(cfg, true_h, w))
+
+
 def sharded_match_level(left: jnp.ndarray, right: jnp.ndarray,
                         disp: jnp.ndarray, level_index: int,
                         cfg: MatcherConfig, is_coarsest: bool,
-                        mesh: Mesh, axis_name: str = "rows") -> jnp.ndarray:
+                        mesh: Mesh, axis_name: str = "rows",
+                        use_fused: Optional[bool] = None,
+                        interpret: bool = False) -> jnp.ndarray:
     """Row-sharded match_level.  Pads H to a multiple of the row-axis size,
     runs the shard_map level engine, and slices the true rows back out.
-    Results match match.match_level exactly."""
+
+    ``use_fused``: None = auto (fused Pallas body on TPU for levels the
+    single-device engine would also run fused); True/False force.
+    ``interpret`` runs the Pallas kernels in interpreter mode (CPU tests).
+    Results match match.match_level exactly up to float rounding."""
     n = mesh.shape[axis_name]
     true_h, w = left.shape[-2], left.shape[-1]
     hl = -(-true_h // n)
@@ -297,9 +422,14 @@ def sharded_match_level(left: jnp.ndarray, right: jnp.ndarray,
     # contraction differs), and the nearest-warp feedback amplifies that
     # noise chaotically over many iterations — compare per level with
     # tolerances, not bitwise (see tests/test_sharding.py).
-    body = partial(_level_body, cfg=cfg, level_index=level_index,
-                   is_coarsest=is_coarsest, true_h=true_h,
-                   axis_name=axis_name)
+    if _use_fused_body(cfg, level_index, true_h, w, hl, use_fused):
+        body = partial(_fused_level_body, cfg=cfg, level_index=level_index,
+                       is_coarsest=is_coarsest, true_h=true_h,
+                       axis_name=axis_name, interpret=interpret)
+    else:
+        body = partial(_level_body, cfg=cfg, level_index=level_index,
+                       is_coarsest=is_coarsest, true_h=true_h,
+                       axis_name=axis_name)
     spec = P(None, axis_name, None)
     fn = shard_map(body, mesh=mesh, in_specs=(spec, spec, spec),
                    out_specs=spec)
@@ -311,7 +441,9 @@ def sharded_match_pair(left: jnp.ndarray, right: jnp.ndarray,
                        cfg: MatcherConfig, mesh: Mesh,
                        axis_name: str = "rows",
                        min_rows_per_shard: int = 16,
-                       foveated: bool = False
+                       foveated: bool = False,
+                       use_fused: Optional[bool] = None,
+                       interpret: bool = False
                        ) -> match_mod.PyramidMatchResult:
     """Full coarse-to-fine match of one pair with large levels row-sharded.
 
@@ -341,7 +473,9 @@ def sharded_match_pair(left: jnp.ndarray, right: jnp.ndarray,
         if (shardable and n_shards > 1
                 and dims[i][0] >= min_rows_per_shard * n_shards):
             disp = sharded_match_level(lp[i], rp[i], disp, i, cfg,
-                                       is_coarsest, mesh, axis_name)
+                                       is_coarsest, mesh, axis_name,
+                                       use_fused=use_fused,
+                                       interpret=interpret)
         else:
             disp = match_mod.match_level(lp[i], rp[i], disp, i, cfg,
                                          is_coarsest)
