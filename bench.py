@@ -40,13 +40,41 @@ def _setup_jax():
     return jax
 
 
+def _octave_texture(h, w, seed=0):
+    """Multi-octave (1/f-style) texture — structure at every pyramid scale,
+    like a natural photograph.  White noise is the wrong bench scene: it is
+    unmatchable at coarse pyramid levels (subsampled noise decorrelates),
+    which drives the disparity field to pathological magnitudes and pushes
+    the warp overflow guard onto the slow exact-gather path — benchmarking
+    the safety net instead of the serving path.  Natural images (the
+    Glasgow capture distribution) correlate at all scales."""
+    rng = np.random.RandomState(seed)
+    out = np.zeros((h, w, 3), np.float32)
+    scale = 1.0
+    size = 4
+    while size <= max(h, w):
+        base = rng.rand(min(size, h), min(size, w), 3).astype(np.float32)
+        yi = np.arange(h) * base.shape[0] // h
+        xi = np.arange(w) * base.shape[1] // w
+        out += scale * base[yi][:, xi]
+        size *= 2
+        scale *= 0.85
+    out -= out.min()
+    out *= 255.0 / out.max()
+    return out.astype(np.uint8)
+
+
 def _make_pair(h, w, batch=None):
-    rng = np.random.RandomState(0)
-    shape = (h, w, 3) if batch is None else (batch, h, w, 3)
-    left = rng.randint(0, 256, size=shape, dtype=np.uint8)
     # right: small horizontal shift of left, so the matcher does real work
-    right = np.roll(left, 3, axis=1 if batch is None else 2)
-    return left, right
+    if batch is None:
+        tex = _octave_texture(h, w + 8)
+        return tex[:, 4:w + 4], tex[:, 1:w + 1]
+    lefts, rights = [], []
+    for b in range(batch):
+        tex = _octave_texture(h, w + 8, seed=b)
+        lefts.append(tex[:, 4:w + 4])
+        rights.append(tex[:, 1:w + 1])
+    return np.stack(lefts), np.stack(rights)
 
 
 def _latency(jax, mode, h, w, repeats):

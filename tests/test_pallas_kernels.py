@@ -56,6 +56,65 @@ class TestWarpKernel:
         np.testing.assert_array_equal(out, np.asarray(img))
 
 
+class TestBilinearWarpKernel:
+    """The windowed kernel's bilinear mode (4 one-hot taps) must equal the
+    XLA bilinear gather — the 10x-accuracy quality mode keeps the fast
+    path (CUDA linear-filtering convention: weights from coord-0.5)."""
+
+    def test_in_window_matches_xla_bilinear(self):
+        from ug_stereomatcher_tpu.ops.pallas.warp import warp_windowed
+        h, w = 40, 160
+        img = jnp.asarray(RNG.rand(3, h, w).astype(np.float32))
+        dh = jnp.asarray((RNG.rand(h, w).astype(np.float32) - 0.5) * 40)
+        dv = jnp.asarray((RNG.rand(h, w).astype(np.float32) - 0.5) * 6)
+        ref = np.asarray(ops.warp_by_disparity(img, dh, dv, "bilinear"))
+        out = np.asarray(warp_windowed(img, dh, dv, max_dy=4, max_dx=128,
+                                       tile_rows=8, interpret=True,
+                                       method="bilinear"))
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+    def test_integer_offsets_hit_single_tap(self):
+        from ug_stereomatcher_tpu.ops.pallas.warp import warp_windowed
+        h, w = 24, 256
+        img = jnp.asarray(RNG.rand(h, w).astype(np.float32))
+        dh = jnp.full((h, w), 3.0, jnp.float32)
+        dv = jnp.full((h, w), -2.0, jnp.float32)
+        out = np.asarray(warp_windowed(img, dh, dv, max_dy=4, max_dx=128,
+                                       tile_rows=8, interpret=True,
+                                       method="bilinear"))
+        ref = np.asarray(ops.warp_by_disparity(img, dh, dv, "bilinear"))
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+    def test_reach_boundary_bilinear(self):
+        from ug_stereomatcher_tpu.ops.pallas.warp import (
+            warp_windowed, window_reach)
+        v_reach, h_reach = window_reach(8, 256)
+        h, w = 32, 1024
+        img = jnp.asarray(RNG.rand(h, w).astype(np.float32))
+        for dh_v, dv_v in ((h_reach - 0.25, 0.0), (-h_reach + 0.25, 0.0),
+                           (0.0, v_reach - 0.25), (0.0, -v_reach + 0.25)):
+            dh = jnp.full((h, w), dh_v, jnp.float32)
+            dv = jnp.full((h, w), dv_v, jnp.float32)
+            out = np.asarray(warp_windowed(img, dh, dv, max_dy=8,
+                                           max_dx=256, tile_rows=8,
+                                           interpret=True,
+                                           method="bilinear"))
+            ref = np.asarray(ops.warp_by_disparity(img, dh, dv, "bilinear"))
+            np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+    def test_guarded_level_warp_bilinear_fallback(self):
+        from ug_stereomatcher_tpu.config import MatcherConfig
+        h, w = 32, 384
+        img = jnp.asarray(RNG.rand(3, h, w).astype(np.float32))
+        dh = jnp.full((h, w), 500.0, jnp.float32)   # way out of window
+        dv = jnp.zeros((h, w), jnp.float32)
+        cfg = MatcherConfig(interp="bilinear")
+        out = np.asarray(match_mod.warp_for_level(img, dh, dv, cfg, 0,
+                                                  interpret=True))
+        ref = np.asarray(ops.warp_by_disparity(img, dh, dv, "bilinear"))
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
 class TestWarpOverflowGuard:
     """The auto path must be exact even when the scene's disparity exceeds
     the kernel window (match.warp_for_level's lax.cond fallback to the
@@ -78,10 +137,10 @@ class TestWarpOverflowGuard:
         np.testing.assert_array_equal(out, ref)
 
     def test_vertical_only_overflow_detected(self):
-        h, w = 32, 256
+        h, w = 64, 256
         img = jnp.asarray(RNG.rand(3, h, w).astype(np.float32))
         dh = jnp.zeros((h, w), jnp.float32)
-        dv = jnp.full((h, w), 15.0, jnp.float32)  # > VH-1 = 7
+        dv = jnp.full((h, w), 40.0, jnp.float32)  # > level-0 reach
         cfg = self._cfg(warp_max_dy=8, warp_max_dx=256)
         out = np.asarray(match_mod.warp_for_level(img, dh, dv, cfg, 0,
                                                   interpret=True))

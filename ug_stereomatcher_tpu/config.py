@@ -127,8 +127,18 @@ class MatcherConfig:
     # "auto": pallas on TPU backends for large levels, xla otherwise.
     warp_backend: str = "auto"
     # Level-0 warp search window (pixels), scaled by (1/sqrt(2))^level for
-    # coarser levels (scene disparity shrinks with the pyramid).
-    warp_max_dy: int = 8
+    # coarser levels (scene disparity shrinks with the pyramid).  The
+    # windowed kernel's candidate sweep is range-adaptive in BOTH axes
+    # (skips candidates no lane of a tile reaches), so wide windows cost
+    # VMEM + DMA rows, not sweep time — the defaults are sized so the
+    # per-pixel max|disparity| of natural scenes (outlier pixels included:
+    # occlusions and aliasing reach tens of px even when the median is
+    # exact) stays inside the window and the overflow guard never has to
+    # take the slow exact path.  Measured on the 16MP 1/f bench scene the
+    # free-running outliers reach |dv|~102, |dh|~119 at level 0, shrinking
+    # ~sqrt(2) per level (the upsample chain scales disparity); 160 gives
+    # >=1.5x margin at every level.
+    warp_max_dy: int = 160
     warp_max_dx: int = 256
     # Overflow guard: per call, one cheap max|disp| reduction checks the
     # live field against the window's exact reach and falls back to the
@@ -139,9 +149,11 @@ class MatcherConfig:
 
     def warp_window_for_level(self, level_index: int) -> Tuple[int, int]:
         """(max_dy, max_dx) for a pyramid level, with floors that keep the
-        window generous relative to the per-level clamp budget."""
+        window generous relative to the per-level clamp budget (coarse
+        levels run 22 iterations of +-threshold increments, so even their
+        outlier offsets reach ~10 px)."""
         s = self.scale ** level_index
-        dy = max(4, int(math.ceil(self.warp_max_dy / s)))
+        dy = max(16, int(math.ceil(self.warp_max_dy / s)))
         dx = max(128, int(math.ceil(self.warp_max_dx / s)))
         return dy, dx
 

@@ -51,8 +51,10 @@ def _use_pallas_stencil(cfg: MatcherConfig, height: int, width: int) -> bool:
 def _use_pallas_warp(cfg: MatcherConfig, height: int, width: int) -> bool:
     """Resolve the warp backend at trace time.  The Pallas windowed kernel
     only pays off on TPU backends and on levels big enough to amortise its
-    tiling; the XLA gather stays the exact reference path elsewhere."""
-    if cfg.warp_backend == "xla" or cfg.interp != "nearest":
+    tiling; the XLA gather stays the exact reference path elsewhere.
+    Both interp modes ride the windowed kernel (bilinear = 4-tap one-hot
+    variant), so the 10x-accuracy quality mode keeps the fast path."""
+    if cfg.warp_backend == "xla":
         return False
     if cfg.warp_backend == "pallas":
         return True
@@ -74,13 +76,13 @@ def warp_for_level(right, disp_h, disp_v, cfg: MatcherConfig,
     XLA gather whenever any offset would clamp, so the auto path is exact
     for *all* scenes and fast for in-window ones."""
     from ug_stereomatcher_tpu.ops.pallas.warp import (
-        warp_nearest_windowed, window_reach)
+        warp_windowed, window_reach)
     dy, dx = cfg.warp_window_for_level(level_index)
 
     def windowed():
-        return warp_nearest_windowed(right, disp_h, disp_v,
-                                     max_dy=dy, max_dx=dx,
-                                     interpret=interpret)
+        return warp_windowed(right, disp_h, disp_v,
+                             max_dy=dy, max_dx=dx,
+                             interpret=interpret, method=cfg.interp)
 
     if not cfg.warp_overflow_guard:
         return windowed()
@@ -89,7 +91,7 @@ def warp_for_level(right, disp_h, disp_v, cfg: MatcherConfig,
             & (jnp.max(jnp.abs(disp_h)) <= h_reach))
     return jax.lax.cond(
         safe, windowed,
-        lambda: warp_by_disparity(right, disp_h, disp_v, "nearest"))
+        lambda: warp_by_disparity(right, disp_h, disp_v, cfg.interp))
 
 
 def _warp(right, disp_h, disp_v, cfg: MatcherConfig, level_index: int):

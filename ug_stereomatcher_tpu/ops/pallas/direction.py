@@ -48,8 +48,8 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _direction_kernel(left_ref, warped_ref, bl2_ref, disp_ref, thr_ref,
-                      replace_ref, row0_ref, out_ref, *, H, W, TH, TW, taps,
-                      ni, nj, consts):
+                      replace_ref, row0_ref, out_ref, lbufs, wbufs, sems, *,
+                      H, W, TH, TW, taps, ni, nj, consts):
     g = pl.program_id(0)
     i = g // nj
     j = g % nj
@@ -57,24 +57,45 @@ def _direction_kernel(left_ref, warped_ref, bl2_ref, disp_ref, thr_ref,
     c0 = j * TW
     bh = TH + 2 * HALO
     bw = TW + 2 * HW
+    n_tiles = ni * nj
+    slot = g % 2
     # global row of this tile's first output row (0 unsharded; the shard
     # offset when the caller row-shards the image) — all boundary masks
     # below are evaluated in GLOBAL coordinates so a shard's interior
     # block edge is never mistaken for the image edge
     row0 = row0_ref[0, 0]
 
-    def body(lbuf, wbuf, sem):
-        for c in range(3):
-            cp = pltpu.make_async_copy(
-                left_ref.at[c, pl.ds(r0, bh), pl.ds(c0, bw)],
-                lbuf.at[c], sem)
+    # Double-buffered halo loads: scratch persists across grid steps, so
+    # tile g+1's left/warped copies run behind tile g's compute and the
+    # DMA latency never lands on the critical path.
+    def dma_pair(slot_idx, tile_idx):
+        ti = tile_idx // nj
+        tj = tile_idx % nj
+        return (
+            pltpu.make_async_copy(
+                left_ref.at[:, pl.ds(ti * TH, bh), pl.ds(tj * TW, bw)],
+                lbufs.at[slot_idx], sems.at[slot_idx, 0]),
+            pltpu.make_async_copy(
+                warped_ref.at[:, pl.ds(ti * TH, bh), pl.ds(tj * TW, bw)],
+                wbufs.at[slot_idx], sems.at[slot_idx, 1]),
+        )
+
+    @pl.when(g == 0)
+    def _():
+        for cp in dma_pair(0, 0):
             cp.start()
-            cp.wait()
-            cp = pltpu.make_async_copy(
-                warped_ref.at[c, pl.ds(r0, bh), pl.ds(c0, bw)],
-                wbuf.at[c], sem)
+
+    @pl.when(g + 1 < n_tiles)
+    def _():
+        for cp in dma_pair((g + 1) % 2, g + 1):
             cp.start()
-            cp.wait()
+
+    for cp in dma_pair(slot, g):
+        cp.wait()
+
+    def body():
+        lbuf = lbufs.at[slot]
+        wbuf = wbufs.at[slot]
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
@@ -162,12 +183,7 @@ def _direction_kernel(left_ref, warped_ref, bl2_ref, disp_ref, thr_ref,
         out_ref[2, :, :] = jnp.where(replace_ref[0, 0] > 0, conf_new,
                                      blended)
 
-    pl.run_scoped(
-        body,
-        pltpu.VMEM((3, TH + 2 * HALO, TW + 2 * HW), jnp.float32),
-        pltpu.VMEM((3, TH + 2 * HALO, TW + 2 * HW), jnp.float32),
-        pltpu.SemaphoreType.DMA,
-    )
+    body()
 
 
 def lax_slice_center(x, TH, TW):
@@ -247,6 +263,11 @@ def fused_direction_update(left: jnp.ndarray, warped: jnp.ndarray,
         out_specs=pl.BlockSpec((3, TH, TW), lambda g: (0, g // nj, g % nj),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, Hp, Wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, TH + 2 * HALO, TW + 2 * HW), jnp.float32),
+            pltpu.VMEM((2, 3, TH + 2 * HALO, TW + 2 * HW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
         interpret=interpret,
     )(pad_halo(left), pad_halo(warped), pad_tile(blurred_l2),
       pad_tile(disp), thr, rep, r0v)

@@ -1,4 +1,4 @@
-"""Windowed nearest-neighbour warp as a Pallas TPU kernel.
+"""Windowed warp (nearest + bilinear) as a Pallas TPU kernel.
 
 Replaces the XLA per-element gather in ops.resample.warp_by_disparity
 (itself the TPU-native form of warpAbyB, MatchLib.cu:499-549) for large
@@ -17,17 +17,27 @@ bounded search window:
             ix = clamp(floor(c + 0.5 + dh), 0, W-1), clamped into a
                  +-HBLK 128-lane-block window around c's block
 
-    for each vertical candidate kk in [-VH, VH]:
-      for each 128-wide source block s in [-HBLK, HBLK]:
-        seg = vmem[VH+kk : VH+kk+TH, s0 : s0+128]     # slice, no gather
-        g   = take_along_axis(seg, ix - s0, axis=1)   # in-vreg gather
-        out = where((iy - r == kk) & (ix in block), g, out)
+    for each 8-row candidate band b the block's offsets span (DYNAMIC
+    fori_loop — Mosaic needs dynamic sublane offsets provably 8-aligned,
+    so candidates sweep in bands of 8):
+      for each 128-wide source block s in [-HBLK, HBLK] the block's
+      column targets span (lax.cond skip):
+        slab = vmem[8b : 8b+TH+8, s0 : s0+128]        # aligned slice
+        for r in 0..7:                                 # static unroll
+          g = take_along_axis(slab[r:r+TH], ix - s0, axis=1)
+          out = where((iy - row == 8b-VH+r) & (ix in block), g, out)
+
+Both sweeps are range-adaptive: disparity fields are smooth, so almost
+every (32, 128) block touches one band and one or two source blocks —
+wide windows cost VMEM + DMA rows, not sweep time.  That is what lets the
+default window be wide enough that natural scenes' outlier offsets stay
+inside it and the overflow guard (match.warp_for_level) almost never has
+to take the slow exact path.
 
 Selection is overwrite (not add), so duplicate candidates from clamped
 block starts at the image edge are harmless.  Within the window the result
-is bit-identical to the XLA gather; per-element offsets beyond the window
-clamp to the window edge (the caller scales the window by
-(1/sqrt(2))^level to track how scene disparity shrinks up the pyramid).
+is bit-identical to the XLA gather (bilinear: identical op order, see
+below); per-element offsets beyond the window clamp to the window edge.
 """
 
 from __future__ import annotations
@@ -42,6 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
+BAND = 8  # candidate band height = Mosaic's sublane alignment unit
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -51,30 +62,30 @@ def _ceil_to(x: int, m: int) -> int:
 def warp_halo_rows(max_dy: int) -> int:
     """Vertical halo rows (VH) the windowed kernel uses for ``max_dy`` —
     row-sharded callers must attach exactly this many real neighbour rows."""
-    return _ceil_to(int(max_dy), 4)
+    return _ceil_to(int(max_dy), BAND)
 
 
 def window_reach(max_dy: int, max_dx: int) -> Tuple[float, float]:
     """Largest |row offset| and |column offset| (in pixels) that
-    :func:`warp_nearest_windowed` resolves exactly for *every* pixel with
-    the given window parameters.
+    :func:`warp_windowed` resolves exactly for *every* pixel with the
+    given window parameters.
 
     Vertical: candidates span +-VH rows, and ``floor(0.5 + dv)`` stays in
-    [-VH, VH] for |dv| <= VH - 1 (conservative by half a pixel).
-    Horizontal: the source-block window spans +-HBLK 128-lane blocks
-    around each pixel's own block, so any |dh| <= HBLK*128 - 1 lands in a
-    candidate block for every lane position within the block.  Offsets
-    beyond the reach CLAMP to the window edge — callers that need the
-    exact unbounded gather (warpAbyB's texture fetch, MatchLib.cu:499-549)
-    must detect ``max|disp| > reach`` and fall back (see
-    match.warp_for_level)."""
-    vh = _ceil_to(int(max_dy), 4)
+    [-VH, VH] for |dv| <= VH - 1 (conservative by half a pixel; bilinear's
+    +1 tap row is covered by the same bound).  Horizontal: the
+    source-block window spans +-HBLK 128-lane blocks around each pixel's
+    own block, so any |dh| <= HBLK*128 - 1 lands in a candidate block for
+    every lane position within the block.  Offsets beyond the reach CLAMP
+    to the window edge — callers that need the exact unbounded gather
+    (warpAbyB's texture fetch, MatchLib.cu:499-549) must detect
+    ``max|disp| > reach`` and fall back (see match.warp_for_level)."""
+    vh = warp_halo_rows(max_dy)
     hblk = max(1, -(-int(max_dx) // LANES))
     return float(vh - 1), float(hblk * LANES - 1)
 
 
 def _warp_kernel(imgp_ref, dh_ref, dv_ref, row0_ref, out_ref, *, H, W, Wp,
-                 TH, VH, HBLK, n_cblk):
+                 TH, VH, HBLK, n_cblk, bilinear):
     c = pl.program_id(0)   # channel (grid = (C, Hp/TH))
     i = pl.program_id(1)   # row-tile index
     r0 = i * TH
@@ -83,10 +94,11 @@ def _warp_kernel(imgp_ref, dh_ref, dv_ref, row0_ref, out_ref, *, H, W, Wp,
     # (the buffer stays locally indexed — only the gather target row and
     # the clamp range are global)
     row0 = row0_ref[0, 0]
+    bh = TH + 2 * VH + BAND   # buffer rows (last band reads BAND past 2VH)
 
     def body(buf, sem):
         cp = pltpu.make_async_copy(
-            imgp_ref.at[c, pl.ds(r0, TH + 2 * VH), :], buf, sem)
+            imgp_ref.at[c, pl.ds(r0, bh), :], buf, sem)
         cp.start()
         cp.wait()
 
@@ -97,75 +109,180 @@ def _warp_kernel(imgp_ref, dh_ref, dv_ref, row0_ref, out_ref, *, H, W, Wp,
             c0 = pl.multiple_of(cblk * LANES, LANES)
             dvb = dv_ref[:, pl.ds(c0, LANES)]
             dhb = dh_ref[:, pl.ds(c0, LANES)]
-            ys = (rloc + row0).astype(jnp.float32) + (r0 + 0.5) + dvb
-            xs = (cloc + c0).astype(jnp.float32) + 0.5 + dhb
-            iyb = jnp.clip(jnp.floor(ys), 0, H - 1).astype(jnp.int32)
-            ixb = jnp.clip(jnp.floor(xs), 0, W - 1).astype(jnp.int32)
-            kb = jnp.clip(iyb - (r0 + row0 + rloc), -VH, VH)
             lo = jnp.maximum(c0 - HBLK * LANES, 0)
             hi = jnp.minimum(c0 + HBLK * LANES, Wp - LANES)
-            # clamp the horizontal read into the reachable window so every
-            # pixel hits exactly one (kk, s) candidate — offsets beyond the
-            # window clamp to its edge (the documented contract), instead
-            # of falling through to the zero init
-            ixb = jnp.clip(ixb, lo, hi + LANES - 1)
-            kmin = jnp.min(kb)
-            kmax = jnp.max(kb)
-            acc = jnp.zeros((TH, LANES), jnp.float32)
-            # Each vertical candidate is wrapped in a *functional* lax.cond
-            # keyed on the block's actual offset range — disparity fields
-            # are smooth, so most of the (2VH+1) candidates are skipped
-            # (~2.6x on realistic fields).  The accumulator stays in
-            # registers; a pl.when + VMEM read-modify-write variant was
-            # tried first and cost more than the skipped work.
-            for kk in range(-VH, VH + 1):
-                def fold(a, kk=kk):
+
+            if not bilinear:
+                ys = (rloc + row0).astype(jnp.float32) + (r0 + 0.5) + dvb
+                xs = (cloc + c0).astype(jnp.float32) + 0.5 + dhb
+                iyb = jnp.clip(jnp.floor(ys), 0, H - 1).astype(jnp.int32)
+                ixb = jnp.clip(jnp.floor(xs), 0, W - 1).astype(jnp.int32)
+                kb = jnp.clip(iyb - (r0 + row0 + rloc), -VH, VH)
+                # clamp the horizontal read into the reachable window so
+                # every pixel hits exactly one (band, s) candidate —
+                # offsets beyond the window clamp to its edge (the
+                # documented contract) instead of falling to the zero init
+                ixb = jnp.clip(ixb, lo, hi + LANES - 1)
+                ixmin = jnp.min(ixb)
+                ixmax = jnp.max(ixb)
+                kmin = jnp.min(kb)
+                kmax = jnp.max(kb)
+                # band index of candidate kk is (kk + VH) // BAND
+                bmin = (kmin + VH) // BAND
+                bmax = (kmax + VH) // BAND
+                acc = jnp.zeros((TH, LANES), jnp.float32)
+
+                def band_body(b, a):
+                    roff = pl.multiple_of(b * BAND, BAND)
                     for s in range(-HBLK, HBLK + 1):
-                        s0 = pl.multiple_of(jnp.clip(c0 + s * LANES, lo, hi),
-                                            LANES)
-                        seg = buf[pl.ds(VH + kk, TH), pl.ds(s0, LANES)]
-                        ixr = jnp.clip(ixb - s0, 0, LANES - 1)
-                        g = jnp.take_along_axis(seg, ixr, axis=1)
-                        hit = (kb == kk) & (ixb >= s0) & (ixb < s0 + LANES)
-                        a = jnp.where(hit, g, a)
+                        s0 = pl.multiple_of(
+                            jnp.clip(c0 + s * LANES, lo, hi), LANES)
+
+                        def use(a2, s0=s0):
+                            slab = buf[pl.ds(roff, TH + BAND),
+                                       pl.ds(s0, LANES)]
+                            ixr = jnp.clip(ixb - s0, 0, LANES - 1)
+                            inb = (ixb >= s0) & (ixb < s0 + LANES)
+                            for r in range(BAND):
+                                kk = b * BAND + r - VH
+
+                                # per-candidate skip: smooth fields span
+                                # 1-2 distinct kk per (TH, 128) block, so
+                                # most of the band's 8 gathers are skipped
+                                # (the round-1 2.6x win, kept under the
+                                # banded alignment structure)
+                                def hit(a3, r=r, kk=kk):
+                                    g = jnp.take_along_axis(
+                                        slab[r:r + TH], ixr, axis=1)
+                                    return jnp.where((kb == kk) & inb,
+                                                     g, a3)
+                                a2 = jax.lax.cond(
+                                    (kmin <= kk) & (kk <= kmax),
+                                    hit, lambda a3: a3, a2)
+                            return a2
+                        a = jax.lax.cond(
+                            (s0 <= ixmax) & (s0 + LANES > ixmin),
+                            use, lambda a2: a2, a)
                     return a
-                acc = jax.lax.cond((kmin <= kk) & (kk <= kmax), fold,
-                                   lambda a: a, acc)
-            out_ref[0, :, pl.ds(c0, LANES)] = acc
+                acc = jax.lax.fori_loop(bmin, bmax + 1, band_body, acc)
+                out_ref[0, :, pl.ds(c0, LANES)] = acc
+                return carry
+
+            # Bilinear (CUDA tex linear filtering: weights from coord-0.5,
+            # each of the 4 taps clamp-addressed).  Four one-hot
+            # accumulators share the same band sweep; tap rows (iy0, iy1)
+            # and columns (ix0, ix1) each carry their own hit condition,
+            # so cross-block / cross-band neighbours resolve exactly.
+            # Op order matches tex_gather exactly: (coord + 0.5 + d) - 0.5,
+            # NOT coord + d — the intermediate rounding differs and the
+            # tap weights (hence output bits) with it.
+            yf = ((rloc + row0).astype(jnp.float32) + (r0 + 0.5) + dvb) - 0.5
+            xf = ((cloc + c0).astype(jnp.float32) + 0.5 + dhb) - 0.5
+            y0f = jnp.floor(yf)
+            x0f = jnp.floor(xf)
+            ay = yf - y0f
+            ax = xf - x0f
+            iy0 = jnp.clip(y0f, 0, H - 1).astype(jnp.int32)
+            iy1 = jnp.clip(y0f + 1.0, 0, H - 1).astype(jnp.int32)
+            ix0 = jnp.clip(x0f, 0, W - 1).astype(jnp.int32)
+            ix1 = jnp.clip(x0f + 1.0, 0, W - 1).astype(jnp.int32)
+            ix0 = jnp.clip(ix0, lo, hi + LANES - 1)
+            ix1 = jnp.clip(ix1, lo, hi + LANES - 1)
+            kb0 = jnp.clip(iy0 - (r0 + row0 + rloc), -VH, VH)
+            kb1 = jnp.clip(iy1 - (r0 + row0 + rloc), -VH, VH)
+            ixmin = jnp.min(ix0)
+            ixmax = jnp.max(ix1)
+            kmin0 = jnp.min(kb0)
+            kmax0 = jnp.max(kb0)
+            kmin1 = jnp.min(kb1)
+            kmax1 = jnp.max(kb1)
+            bmin = (kmin0 + VH) // BAND
+            bmax = (kmax1 + VH) // BAND
+            zero = jnp.zeros((TH, LANES), jnp.float32)
+
+            def band_body(b, a4):
+                roff = pl.multiple_of(b * BAND, BAND)
+                for s in range(-HBLK, HBLK + 1):
+                    s0 = pl.multiple_of(
+                        jnp.clip(c0 + s * LANES, lo, hi), LANES)
+
+                    def use(a4i, s0=s0):
+                        a00, a01, a10, a11 = a4i
+                        slab = buf[pl.ds(roff, TH + BAND),
+                                   pl.ds(s0, LANES)]
+                        ixr0 = jnp.clip(ix0 - s0, 0, LANES - 1)
+                        ixr1 = jnp.clip(ix1 - s0, 0, LANES - 1)
+                        in0 = (ix0 >= s0) & (ix0 < s0 + LANES)
+                        in1 = (ix1 >= s0) & (ix1 < s0 + LANES)
+                        for r in range(BAND):
+                            kk = b * BAND + r - VH
+
+                            # per-candidate skip, as in the nearest path:
+                            # only kk values some tap row actually targets
+                            # pay for their two gathers
+                            def hit(a3, r=r, kk=kk):
+                                b00, b01, b10, b11 = a3
+                                seg = slab[r:r + TH]
+                                g0 = jnp.take_along_axis(seg, ixr0, axis=1)
+                                g1 = jnp.take_along_axis(seg, ixr1, axis=1)
+                                b00 = jnp.where((kb0 == kk) & in0, g0, b00)
+                                b01 = jnp.where((kb0 == kk) & in1, g1, b01)
+                                b10 = jnp.where((kb1 == kk) & in0, g0, b10)
+                                b11 = jnp.where((kb1 == kk) & in1, g1, b11)
+                                return (b00, b01, b10, b11)
+                            a4i = jax.lax.cond(
+                                ((kmin0 <= kk) & (kk <= kmax0))
+                                | ((kmin1 <= kk) & (kk <= kmax1)),
+                                hit, lambda a3: a3, a4i)
+                        return a4i
+                    a4 = jax.lax.cond(
+                        (s0 <= ixmax) & (s0 + LANES > ixmin),
+                        use, lambda a4i: a4i, a4)
+                return a4
+            accs = jax.lax.fori_loop(bmin, bmax + 1, band_body,
+                                     (zero, zero, zero, zero))
+            a00, a01, a10, a11 = accs
+            top = a00 * (1.0 - ax) + a01 * ax
+            bot = a10 * (1.0 - ax) + a11 * ax
+            out_ref[0, :, pl.ds(c0, LANES)] = top * (1.0 - ay) + bot * ay
             return carry
 
         jax.lax.fori_loop(0, n_cblk, col_block, 0)
 
-    pl.run_scoped(body, pltpu.VMEM((TH + 2 * VH, Wp), jnp.float32),
+    pl.run_scoped(body, pltpu.VMEM((TH + 2 * VH + BAND, Wp), jnp.float32),
                   pltpu.SemaphoreType.DMA)
 
 
 @functools.partial(jax.jit, static_argnames=("max_dy", "max_dx", "tile_rows",
                                              "interpret", "row_halo",
-                                             "global_h"))
-def warp_nearest_windowed(img: jnp.ndarray, disp_x: jnp.ndarray,
-                          disp_y: jnp.ndarray, max_dy: int = 8,
-                          max_dx: int = 256, tile_rows: int = 32,
-                          interpret: bool = False, row_halo: bool = False,
-                          row0=None, global_h: int = None) -> jnp.ndarray:
-    """Windowed nearest warp.  img: (C, H, W) or (H, W); disp_x/disp_y:
-    (H, W).  Exact vs the XLA gather for |row offset| <= max_dy and column
-    offsets within the +-ceil(max_dx/128) source-block window; larger
-    offsets clamp to the window edge.
+                                             "global_h", "method"))
+def warp_windowed(img: jnp.ndarray, disp_x: jnp.ndarray,
+                  disp_y: jnp.ndarray, max_dy: int = 8,
+                  max_dx: int = 256, tile_rows: int = 64,
+                  interpret: bool = False, row_halo: bool = False,
+                  row0=None, global_h: int = None,
+                  method: str = "nearest") -> jnp.ndarray:
+    """Windowed warp.  img: (C, H, W) or (H, W); disp_x/disp_y: (H, W).
+    Exact vs the XLA gather (``ops.resample.warp_by_disparity`` with the
+    same ``method``) for |row offset| <= max_dy and column offsets within
+    the +-ceil(max_dx/128) source-block window; larger offsets clamp to
+    the window edge.  ``method="bilinear"`` evaluates CUDA linear
+    filtering (weights from coord-0.5, 4 clamp-addressed taps) with four
+    one-hot tap accumulators sharing one candidate sweep — the window
+    reach is identical to nearest.
 
     Row-sharded mode (``row_halo=True``): ``img`` is a local row block with
-    VH = ceil4(max_dy) REAL halo rows already attached above and below
-    (neighbour rows from a prior ``ppermute``), disp_x/disp_y are the local
-    (Hl, W) block, ``row0`` is the block's global first row (traced) and
-    ``global_h`` the full image height.  Gather targets and clamps then use
-    global coordinates, so each shard's output is exactly the matching row
-    slice of the unsharded warp."""
+    VH = warp_halo_rows(max_dy) REAL halo rows already attached above and
+    below (neighbour rows from a prior ``ppermute``), disp_x/disp_y are the
+    local (Hl, W) block, ``row0`` is the block's global first row (traced)
+    and ``global_h`` the full image height.  Gather targets and clamps then
+    use global coordinates, so each shard's output is exactly the matching
+    row slice of the unsharded warp."""
     squeeze = img.ndim == 2
     if squeeze:
         img = img[None]
     TH = tile_rows
-    # TH + 2*VH (the DMA slice height) must stay sublane-aligned (8 rows)
-    VH = _ceil_to(int(max_dy), 4)
+    VH = warp_halo_rows(max_dy)
     HBLK = max(1, -(-int(max_dx) // LANES))
     C = img.shape[0]
     Hl = disp_x.shape[0]          # output rows (local block in halo mode)
@@ -176,19 +293,22 @@ def warp_nearest_windowed(img: jnp.ndarray, disp_x: jnp.ndarray,
     n_cblk = Wp // LANES
 
     if row_halo:
-        # halo rows are real data; only add tile alignment + lane padding
-        imgp = jnp.pad(img, ((0, 0), (0, Hp - Hl), (0, Wp - W)),
+        # halo rows are real data; add band slack + tile/lane alignment
+        imgp = jnp.pad(img, ((0, 0), (0, BAND + (Hp - Hl)), (0, Wp - W)),
                        mode="edge")
         r0v = jnp.asarray(row0, jnp.int32).reshape(1, 1)
     else:
-        imgp = jnp.pad(img, ((0, 0), (VH, VH + (Hp - Hl)), (0, Wp - W)),
-                       mode="edge")
+        imgp = jnp.pad(img, ((0, 0), (VH, VH + BAND + (Hp - Hl)),
+                             (0, Wp - W)), mode="edge")
         r0v = jnp.zeros((1, 1), jnp.int32)
     dhp = jnp.pad(disp_x, ((0, Hp - Hl), (0, Wp - W)))
     dvp = jnp.pad(disp_y, ((0, Hp - Hl), (0, Wp - W)))
 
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"unknown warp method {method!r}")
     kernel = functools.partial(_warp_kernel, H=H, W=W, Wp=Wp, TH=TH, VH=VH,
-                               HBLK=HBLK, n_cblk=n_cblk)
+                               HBLK=HBLK, n_cblk=n_cblk,
+                               bilinear=(method == "bilinear"))
     out = pl.pallas_call(
         kernel,
         grid=(C, Hp // TH),
@@ -207,3 +327,8 @@ def warp_nearest_windowed(img: jnp.ndarray, disp_x: jnp.ndarray,
     )(imgp, dhp, dvp, r0v)
     out = out[:, :Hl, :W]
     return out[0] if squeeze else out
+
+
+def warp_nearest_windowed(img, disp_x, disp_y, **kw):
+    """Nearest-mode alias of :func:`warp_windowed` (original entry point)."""
+    return warp_windowed(img, disp_x, disp_y, method="nearest", **kw)

@@ -214,7 +214,7 @@ def _fused_level_body(left, right, disp0, *, cfg: MatcherConfig,
     from ug_stereomatcher_tpu.ops.pallas.smooth import (
         fused_smooth_average, smooth_halo_rows)
     from ug_stereomatcher_tpu.ops.pallas.warp import (
-        warp_halo_rows, warp_nearest_windowed, window_reach)
+        warp_halo_rows, warp_windowed, window_reach)
 
     mi = cfg.iters_for_level(level_index)
     n_smooth = cfg.smooth_passes_for_level(level_index)
@@ -244,10 +244,10 @@ def _fused_level_body(left, right, disp0, *, cfg: MatcherConfig,
         m, threshold = inputs
 
         def windowed():
-            return warp_nearest_windowed(
+            return warp_windowed(
                 right_h, disp_h, disp_v, max_dy=dy, max_dx=dx,
                 interpret=interpret, row_halo=True, row0=row0,
-                global_h=true_h)
+                global_h=true_h, method=cfg.interp)
 
         if cfg.warp_overflow_guard:
             # the guard must see the GLOBAL maximum — another shard's
@@ -258,7 +258,7 @@ def _fused_level_body(left, right, disp0, *, cfg: MatcherConfig,
             warped = lax.cond(
                 safe, windowed,
                 lambda: _sharded_warp(right, disp_h, disp_v, axis_name,
-                                      true_h, "nearest"))
+                                      true_h, cfg.interp))
         else:
             warped = windowed()
 
