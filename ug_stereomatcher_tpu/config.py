@@ -147,6 +147,19 @@ class MatcherConfig:
     # MatchLib.cu:499-549).  Disable only to pin the windowed kernel.
     warp_overflow_guard: bool = True
 
+    # Level-resident backend ---------------------------------------------
+    # Whole-level Pallas kernel (ops/pallas/level.py): runs a coarse
+    # level's entire mi-iteration refinement loop in ONE kernel with every
+    # plane resident in VMEM — the TPU-native analog of matchlevel's
+    # device-resident iteration (MatchGPULib.cpp:2420-2426) — removing the
+    # per-iteration dispatch floor that dominates sub-256k-pixel levels.
+    # "auto": on for TPU backends when the level fits the VMEM budget;
+    # "pallas": force (small shapes only — Mosaic errors if VMEM is
+    #   exceeded); "interpret": force in interpreter mode (CPU test/debug
+    #   path — exercises the real wiring incl. the overflow fallback);
+    # "xla": off.
+    level_backend: str = "auto"
+
     def warp_window_for_level(self, level_index: int) -> Tuple[int, int]:
         """(max_dy, max_dx) for a pyramid level, with floors that keep the
         window generous relative to the per-level clamp budget (coarse

@@ -48,6 +48,29 @@ def _use_pallas_stencil(cfg: MatcherConfig, height: int, width: int) -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def _use_level_resident(cfg: MatcherConfig, channels: int, height: int,
+                        width: int, level_index: int) -> bool:
+    """Whole-level resident kernel gate (ops/pallas/level.py).  Forced
+    modes ("pallas"/"interpret") always take it; "auto" requires a TPU
+    backend, the Pallas warp enabled, and the level's peak VMEM footprint
+    under budget (coarse sub-256k-pixel levels — exactly the
+    dispatch-floor-bound tail the kernel exists to cut)."""
+    if cfg.level_backend == "xla" or channels != 3:
+        return False
+    if cfg.level_backend in ("pallas", "interpret"):
+        return True
+    if cfg.level_backend != "auto":
+        raise ValueError(f"unknown level_backend {cfg.level_backend!r}")
+    if cfg.warp_backend == "xla":
+        return False
+    if jax.default_backend() in ("cpu",):
+        return False
+    from ug_stereomatcher_tpu.ops.pallas.level import (
+        LEVEL_VMEM_BUDGET, level_resident_vmem_bytes)
+    dy, _ = cfg.warp_window_for_level(level_index)
+    return level_resident_vmem_bytes(height, width, dy) <= LEVEL_VMEM_BUDGET
+
+
 def _use_pallas_warp(cfg: MatcherConfig, height: int, width: int) -> bool:
     """Resolve the warp backend at trace time.  The Pallas windowed kernel
     only pays off on TPU backends and on levels big enough to amortise its
@@ -151,6 +174,38 @@ def match_level(left: jnp.ndarray, right: jnp.ndarray, disp: jnp.ndarray,
     n_smooth = cfg.smooth_passes_for_level(level_index)
     thresholds = jnp.asarray(cfg.threshold_schedule(mi), dtype=left.dtype)
 
+    def scan_path():
+        return _match_level_scan(left, right, disp, level_index, cfg,
+                                 is_coarsest, mi, n_smooth, thresholds)
+
+    if _use_level_resident(cfg, left.shape[0], left.shape[-2],
+                           left.shape[-1], level_index):
+        from ug_stereomatcher_tpu.ops.pallas.level import (
+            level_resident_match)
+        dy, dx = cfg.warp_window_for_level(level_index)
+        state, ovf = level_resident_match(
+            left, right, disp, thresholds, mi=mi, n_smooth=n_smooth,
+            replace_first=is_coarsest, max_dy=dy, max_dx=dx,
+            consts=(cfg.conf_no_peak, cfg.conf_affine_scale,
+                    cfg.conf_affine_bias, cfg.conf_blend_new,
+                    cfg.conf_blend_old),
+            method=cfg.interp,
+            interpret=(cfg.level_backend == "interpret"))
+        if not cfg.warp_overflow_guard:
+            return state
+        # Same auto-exactness contract as warp_for_level: if any
+        # iteration's field exceeded the window's exact reach the kernel's
+        # clamped result may diverge from the unbounded gather — recompute
+        # the whole level on the exact path.
+        return jax.lax.cond(ovf > 0.0, scan_path, lambda: state)
+    return scan_path()
+
+
+def _match_level_scan(left, right, disp, level_index, cfg: MatcherConfig,
+                      is_coarsest, mi, n_smooth, thresholds) -> jnp.ndarray:
+    """The lax.scan level loop (one fused XLA/Pallas-stencil iteration per
+    step) — the exact path `match_level` scans when the level-resident
+    kernel is gated off or its overflow guard fires."""
     # Iteration-invariant: blurred left energy (the reference recomputes this
     # every iteration/channel — MatchGPULib.cpp:1809-1880 — pure waste).
     blurred_l2 = blur_gaussian_clamp(left * left)

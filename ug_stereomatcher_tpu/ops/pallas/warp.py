@@ -84,6 +84,155 @@ def window_reach(max_dy: int, max_dx: int) -> Tuple[float, float]:
     return float(vh - 1), float(hblk * LANES - 1)
 
 
+def sweep_nearest(buf, dvb, dhb, c0, lo, hi, out_row0, *, H, W, TH, VH,
+                  HBLK):
+    """Banded one-hot nearest sweep for one 128-lane column block.
+
+    buf: VMEM ref whose row 0 holds source row ``out_row0 - VH``
+    (edge-clamped) and which extends at least ``TH + 2*VH + BAND`` rows at
+    full padded width.  dvb/dhb: (TH, LANES) disparity values for output
+    rows [out_row0, out_row0+TH), columns [c0, c0+LANES).  c0/lo/hi may be
+    Python ints or traced lane-aligned scalars.  Returns the (TH, LANES)
+    warped block.  Shared by the tiled warp kernel and the level-resident
+    kernel (ops/pallas/level.py)."""
+    rloc = jax.lax.broadcasted_iota(jnp.int32, (TH, LANES), 0)
+    cloc = jax.lax.broadcasted_iota(jnp.int32, (TH, LANES), 1)
+    ys = (rloc + out_row0).astype(jnp.float32) + 0.5 + dvb
+    xs = (cloc + c0).astype(jnp.float32) + 0.5 + dhb
+    iyb = jnp.clip(jnp.floor(ys), 0, H - 1).astype(jnp.int32)
+    ixb = jnp.clip(jnp.floor(xs), 0, W - 1).astype(jnp.int32)
+    kb = jnp.clip(iyb - (out_row0 + rloc), -VH, VH)
+    # clamp the horizontal read into the reachable window so every pixel
+    # hits exactly one (band, s) candidate — offsets beyond the window
+    # clamp to its edge (the documented contract) instead of falling to
+    # the zero init
+    ixb = jnp.clip(ixb, lo, hi + LANES - 1)
+    ixmin = jnp.min(ixb)
+    ixmax = jnp.max(ixb)
+    kmin = jnp.min(kb)
+    kmax = jnp.max(kb)
+    # band index of candidate kk is (kk + VH) // BAND
+    bmin = (kmin + VH) // BAND
+    bmax = (kmax + VH) // BAND
+    acc = jnp.zeros((TH, LANES), jnp.float32)
+
+    def band_body(b, a):
+        roff = pl.multiple_of(b * BAND, BAND)
+        for s in range(-HBLK, HBLK + 1):
+            s0 = pl.multiple_of(
+                jnp.clip(c0 + s * LANES, lo, hi), LANES)
+
+            def use(a2, s0=s0):
+                slab = buf[pl.ds(roff, TH + BAND),
+                           pl.ds(s0, LANES)]
+                ixr = jnp.clip(ixb - s0, 0, LANES - 1)
+                inb = (ixb >= s0) & (ixb < s0 + LANES)
+                for r in range(BAND):
+                    kk = b * BAND + r - VH
+
+                    # per-candidate skip: smooth fields span 1-2 distinct
+                    # kk per block, so most of the band's 8 gathers are
+                    # skipped (the round-1 2.6x win, kept under the
+                    # banded alignment structure)
+                    def hit(a3, r=r, kk=kk):
+                        g = jnp.take_along_axis(
+                            slab[r:r + TH], ixr, axis=1)
+                        return jnp.where((kb == kk) & inb,
+                                         g, a3)
+                    a2 = jax.lax.cond(
+                        (kmin <= kk) & (kk <= kmax),
+                        hit, lambda a3: a3, a2)
+                return a2
+            a = jax.lax.cond(
+                (s0 <= ixmax) & (s0 + LANES > ixmin),
+                use, lambda a2: a2, a)
+        return a
+    return jax.lax.fori_loop(bmin, bmax + 1, band_body, acc)
+
+
+def sweep_bilinear(buf, dvb, dhb, c0, lo, hi, out_row0, *, H, W, TH, VH,
+                   HBLK):
+    """Bilinear variant of :func:`sweep_nearest` (CUDA tex linear
+    filtering: weights from coord-0.5, each of the 4 taps clamp-addressed).
+    Four one-hot tap accumulators share the same band sweep; tap rows
+    (iy0, iy1) and columns (ix0, ix1) each carry their own hit condition,
+    so cross-block / cross-band neighbours resolve exactly.  Op order
+    matches tex_gather exactly: (coord + 0.5 + d) - 0.5, NOT coord + d —
+    the intermediate rounding differs and the tap weights (hence output
+    bits) with it."""
+    rloc = jax.lax.broadcasted_iota(jnp.int32, (TH, LANES), 0)
+    cloc = jax.lax.broadcasted_iota(jnp.int32, (TH, LANES), 1)
+    yf = ((rloc + out_row0).astype(jnp.float32) + 0.5 + dvb) - 0.5
+    xf = ((cloc + c0).astype(jnp.float32) + 0.5 + dhb) - 0.5
+    y0f = jnp.floor(yf)
+    x0f = jnp.floor(xf)
+    ay = yf - y0f
+    ax = xf - x0f
+    iy0 = jnp.clip(y0f, 0, H - 1).astype(jnp.int32)
+    iy1 = jnp.clip(y0f + 1.0, 0, H - 1).astype(jnp.int32)
+    ix0 = jnp.clip(x0f, 0, W - 1).astype(jnp.int32)
+    ix1 = jnp.clip(x0f + 1.0, 0, W - 1).astype(jnp.int32)
+    ix0 = jnp.clip(ix0, lo, hi + LANES - 1)
+    ix1 = jnp.clip(ix1, lo, hi + LANES - 1)
+    kb0 = jnp.clip(iy0 - (out_row0 + rloc), -VH, VH)
+    kb1 = jnp.clip(iy1 - (out_row0 + rloc), -VH, VH)
+    ixmin = jnp.min(ix0)
+    ixmax = jnp.max(ix1)
+    kmin0 = jnp.min(kb0)
+    kmax0 = jnp.max(kb0)
+    kmin1 = jnp.min(kb1)
+    kmax1 = jnp.max(kb1)
+    bmin = (kmin0 + VH) // BAND
+    bmax = (kmax1 + VH) // BAND
+    zero = jnp.zeros((TH, LANES), jnp.float32)
+
+    def band_body(b, a4):
+        roff = pl.multiple_of(b * BAND, BAND)
+        for s in range(-HBLK, HBLK + 1):
+            s0 = pl.multiple_of(
+                jnp.clip(c0 + s * LANES, lo, hi), LANES)
+
+            def use(a4i, s0=s0):
+                a00, a01, a10, a11 = a4i
+                slab = buf[pl.ds(roff, TH + BAND),
+                           pl.ds(s0, LANES)]
+                ixr0 = jnp.clip(ix0 - s0, 0, LANES - 1)
+                ixr1 = jnp.clip(ix1 - s0, 0, LANES - 1)
+                in0 = (ix0 >= s0) & (ix0 < s0 + LANES)
+                in1 = (ix1 >= s0) & (ix1 < s0 + LANES)
+                for r in range(BAND):
+                    kk = b * BAND + r - VH
+
+                    # per-candidate skip, as in the nearest path: only kk
+                    # values some tap row actually targets pay for their
+                    # two gathers
+                    def hit(a3, r=r, kk=kk):
+                        b00, b01, b10, b11 = a3
+                        seg = slab[r:r + TH]
+                        g0 = jnp.take_along_axis(seg, ixr0, axis=1)
+                        g1 = jnp.take_along_axis(seg, ixr1, axis=1)
+                        b00 = jnp.where((kb0 == kk) & in0, g0, b00)
+                        b01 = jnp.where((kb0 == kk) & in1, g1, b01)
+                        b10 = jnp.where((kb1 == kk) & in0, g0, b10)
+                        b11 = jnp.where((kb1 == kk) & in1, g1, b11)
+                        return (b00, b01, b10, b11)
+                    a4i = jax.lax.cond(
+                        ((kmin0 <= kk) & (kk <= kmax0))
+                        | ((kmin1 <= kk) & (kk <= kmax1)),
+                        hit, lambda a3: a3, a4i)
+                return a4i
+            a4 = jax.lax.cond(
+                (s0 <= ixmax) & (s0 + LANES > ixmin),
+                use, lambda a4i: a4i, a4)
+        return a4
+    accs = jax.lax.fori_loop(bmin, bmax + 1, band_body,
+                             (zero, zero, zero, zero))
+    a00, a01, a10, a11 = accs
+    top = a00 * (1.0 - ax) + a01 * ax
+    bot = a10 * (1.0 - ax) + a11 * ax
+    return top * (1.0 - ay) + bot * ay
+
+
 def _warp_kernel(imgp_ref, dh_ref, dv_ref, row0_ref, out_ref, *, H, W, Wp,
                  TH, VH, HBLK, n_cblk, bilinear):
     c = pl.program_id(0)   # channel (grid = (C, Hp/TH))
@@ -95,6 +244,7 @@ def _warp_kernel(imgp_ref, dh_ref, dv_ref, row0_ref, out_ref, *, H, W, Wp,
     # the clamp range are global)
     row0 = row0_ref[0, 0]
     bh = TH + 2 * VH + BAND   # buffer rows (last band reads BAND past 2VH)
+    sweep = sweep_bilinear if bilinear else sweep_nearest
 
     def body(buf, sem):
         cp = pltpu.make_async_copy(
@@ -102,149 +252,15 @@ def _warp_kernel(imgp_ref, dh_ref, dv_ref, row0_ref, out_ref, *, H, W, Wp,
         cp.start()
         cp.wait()
 
-        rloc = jax.lax.broadcasted_iota(jnp.int32, (TH, LANES), 0)
-        cloc = jax.lax.broadcasted_iota(jnp.int32, (TH, LANES), 1)
-
         def col_block(cblk, carry):
             c0 = pl.multiple_of(cblk * LANES, LANES)
             dvb = dv_ref[:, pl.ds(c0, LANES)]
             dhb = dh_ref[:, pl.ds(c0, LANES)]
             lo = jnp.maximum(c0 - HBLK * LANES, 0)
             hi = jnp.minimum(c0 + HBLK * LANES, Wp - LANES)
-
-            if not bilinear:
-                ys = (rloc + row0).astype(jnp.float32) + (r0 + 0.5) + dvb
-                xs = (cloc + c0).astype(jnp.float32) + 0.5 + dhb
-                iyb = jnp.clip(jnp.floor(ys), 0, H - 1).astype(jnp.int32)
-                ixb = jnp.clip(jnp.floor(xs), 0, W - 1).astype(jnp.int32)
-                kb = jnp.clip(iyb - (r0 + row0 + rloc), -VH, VH)
-                # clamp the horizontal read into the reachable window so
-                # every pixel hits exactly one (band, s) candidate —
-                # offsets beyond the window clamp to its edge (the
-                # documented contract) instead of falling to the zero init
-                ixb = jnp.clip(ixb, lo, hi + LANES - 1)
-                ixmin = jnp.min(ixb)
-                ixmax = jnp.max(ixb)
-                kmin = jnp.min(kb)
-                kmax = jnp.max(kb)
-                # band index of candidate kk is (kk + VH) // BAND
-                bmin = (kmin + VH) // BAND
-                bmax = (kmax + VH) // BAND
-                acc = jnp.zeros((TH, LANES), jnp.float32)
-
-                def band_body(b, a):
-                    roff = pl.multiple_of(b * BAND, BAND)
-                    for s in range(-HBLK, HBLK + 1):
-                        s0 = pl.multiple_of(
-                            jnp.clip(c0 + s * LANES, lo, hi), LANES)
-
-                        def use(a2, s0=s0):
-                            slab = buf[pl.ds(roff, TH + BAND),
-                                       pl.ds(s0, LANES)]
-                            ixr = jnp.clip(ixb - s0, 0, LANES - 1)
-                            inb = (ixb >= s0) & (ixb < s0 + LANES)
-                            for r in range(BAND):
-                                kk = b * BAND + r - VH
-
-                                # per-candidate skip: smooth fields span
-                                # 1-2 distinct kk per (TH, 128) block, so
-                                # most of the band's 8 gathers are skipped
-                                # (the round-1 2.6x win, kept under the
-                                # banded alignment structure)
-                                def hit(a3, r=r, kk=kk):
-                                    g = jnp.take_along_axis(
-                                        slab[r:r + TH], ixr, axis=1)
-                                    return jnp.where((kb == kk) & inb,
-                                                     g, a3)
-                                a2 = jax.lax.cond(
-                                    (kmin <= kk) & (kk <= kmax),
-                                    hit, lambda a3: a3, a2)
-                            return a2
-                        a = jax.lax.cond(
-                            (s0 <= ixmax) & (s0 + LANES > ixmin),
-                            use, lambda a2: a2, a)
-                    return a
-                acc = jax.lax.fori_loop(bmin, bmax + 1, band_body, acc)
-                out_ref[0, :, pl.ds(c0, LANES)] = acc
-                return carry
-
-            # Bilinear (CUDA tex linear filtering: weights from coord-0.5,
-            # each of the 4 taps clamp-addressed).  Four one-hot
-            # accumulators share the same band sweep; tap rows (iy0, iy1)
-            # and columns (ix0, ix1) each carry their own hit condition,
-            # so cross-block / cross-band neighbours resolve exactly.
-            # Op order matches tex_gather exactly: (coord + 0.5 + d) - 0.5,
-            # NOT coord + d — the intermediate rounding differs and the
-            # tap weights (hence output bits) with it.
-            yf = ((rloc + row0).astype(jnp.float32) + (r0 + 0.5) + dvb) - 0.5
-            xf = ((cloc + c0).astype(jnp.float32) + 0.5 + dhb) - 0.5
-            y0f = jnp.floor(yf)
-            x0f = jnp.floor(xf)
-            ay = yf - y0f
-            ax = xf - x0f
-            iy0 = jnp.clip(y0f, 0, H - 1).astype(jnp.int32)
-            iy1 = jnp.clip(y0f + 1.0, 0, H - 1).astype(jnp.int32)
-            ix0 = jnp.clip(x0f, 0, W - 1).astype(jnp.int32)
-            ix1 = jnp.clip(x0f + 1.0, 0, W - 1).astype(jnp.int32)
-            ix0 = jnp.clip(ix0, lo, hi + LANES - 1)
-            ix1 = jnp.clip(ix1, lo, hi + LANES - 1)
-            kb0 = jnp.clip(iy0 - (r0 + row0 + rloc), -VH, VH)
-            kb1 = jnp.clip(iy1 - (r0 + row0 + rloc), -VH, VH)
-            ixmin = jnp.min(ix0)
-            ixmax = jnp.max(ix1)
-            kmin0 = jnp.min(kb0)
-            kmax0 = jnp.max(kb0)
-            kmin1 = jnp.min(kb1)
-            kmax1 = jnp.max(kb1)
-            bmin = (kmin0 + VH) // BAND
-            bmax = (kmax1 + VH) // BAND
-            zero = jnp.zeros((TH, LANES), jnp.float32)
-
-            def band_body(b, a4):
-                roff = pl.multiple_of(b * BAND, BAND)
-                for s in range(-HBLK, HBLK + 1):
-                    s0 = pl.multiple_of(
-                        jnp.clip(c0 + s * LANES, lo, hi), LANES)
-
-                    def use(a4i, s0=s0):
-                        a00, a01, a10, a11 = a4i
-                        slab = buf[pl.ds(roff, TH + BAND),
-                                   pl.ds(s0, LANES)]
-                        ixr0 = jnp.clip(ix0 - s0, 0, LANES - 1)
-                        ixr1 = jnp.clip(ix1 - s0, 0, LANES - 1)
-                        in0 = (ix0 >= s0) & (ix0 < s0 + LANES)
-                        in1 = (ix1 >= s0) & (ix1 < s0 + LANES)
-                        for r in range(BAND):
-                            kk = b * BAND + r - VH
-
-                            # per-candidate skip, as in the nearest path:
-                            # only kk values some tap row actually targets
-                            # pay for their two gathers
-                            def hit(a3, r=r, kk=kk):
-                                b00, b01, b10, b11 = a3
-                                seg = slab[r:r + TH]
-                                g0 = jnp.take_along_axis(seg, ixr0, axis=1)
-                                g1 = jnp.take_along_axis(seg, ixr1, axis=1)
-                                b00 = jnp.where((kb0 == kk) & in0, g0, b00)
-                                b01 = jnp.where((kb0 == kk) & in1, g1, b01)
-                                b10 = jnp.where((kb1 == kk) & in0, g0, b10)
-                                b11 = jnp.where((kb1 == kk) & in1, g1, b11)
-                                return (b00, b01, b10, b11)
-                            a4i = jax.lax.cond(
-                                ((kmin0 <= kk) & (kk <= kmax0))
-                                | ((kmin1 <= kk) & (kk <= kmax1)),
-                                hit, lambda a3: a3, a4i)
-                        return a4i
-                    a4 = jax.lax.cond(
-                        (s0 <= ixmax) & (s0 + LANES > ixmin),
-                        use, lambda a4i: a4i, a4)
-                return a4
-            accs = jax.lax.fori_loop(bmin, bmax + 1, band_body,
-                                     (zero, zero, zero, zero))
-            a00, a01, a10, a11 = accs
-            top = a00 * (1.0 - ax) + a01 * ax
-            bot = a10 * (1.0 - ax) + a11 * ax
-            out_ref[0, :, pl.ds(c0, LANES)] = top * (1.0 - ay) + bot * ay
+            out_ref[0, :, pl.ds(c0, LANES)] = sweep(
+                buf, dvb, dhb, c0, lo, hi, r0 + row0,
+                H=H, W=W, TH=TH, VH=VH, HBLK=HBLK)
             return carry
 
         jax.lax.fori_loop(0, n_cblk, col_block, 0)
