@@ -236,3 +236,44 @@ class TestDirectionKernel:
                 left, warped, bl2, disp, thr, rep, tile_rows=16,
                 tile_cols=128, consts=consts, interpret=True))
             np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+class TestFusedBlurKernel:
+    """fused_blur_gaussian must match the XLA shift-slice blur to float
+    rounding (<= 1 ulp: FMA contraction differs between the two lowerings)
+    in both boundary modes.  It swaps in underneath the pyramid build and
+    the level engine's blurred-energy hoist — the same tolerance contract
+    as the other fused stencils."""
+
+    @pytest.mark.parametrize("boundary", ["zero", "clamp"])
+    def test_bit_exact_vs_xla(self, boundary):
+        from ug_stereomatcher_tpu.ops.pallas.blur import fused_blur_gaussian
+        h, w = 37, 210   # odd sizes force tile padding on both axes
+        x = jnp.asarray(RNG.rand(3, h, w).astype(np.float32))
+        ref_fn = (ops.blur_gaussian_zero if boundary == "zero"
+                  else ops.blur_gaussian_clamp)
+        ref = np.asarray(ref_fn(x))
+        out = np.asarray(fused_blur_gaussian(
+            x, boundary=boundary, tile_rows=16, tile_cols=128,
+            interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=3e-7, atol=1e-7)
+
+    def test_2d_input(self):
+        from ug_stereomatcher_tpu.ops.pallas.blur import fused_blur_gaussian
+        h, w = 24, 140
+        x = jnp.asarray(RNG.rand(h, w).astype(np.float32))
+        ref = np.asarray(ops.blur_gaussian_zero(x))
+        out = np.asarray(fused_blur_gaussian(
+            x, boundary="zero", tile_rows=8, tile_cols=128, interpret=True))
+        assert out.shape == (h, w)
+        np.testing.assert_allclose(out, ref, rtol=3e-7, atol=1e-7)
+
+    def test_multi_tile_grid(self):
+        from ug_stereomatcher_tpu.ops.pallas.blur import fused_blur_gaussian
+        h, w = 70, 300   # 2x2+ tile grid with ragged edges
+        x = jnp.asarray(RNG.rand(3, h, w).astype(np.float32))
+        ref = np.asarray(ops.blur_gaussian_clamp(x))
+        out = np.asarray(fused_blur_gaussian(
+            x, boundary="clamp", tile_rows=32, tile_cols=128,
+            interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=3e-7, atol=1e-7)

@@ -147,6 +147,13 @@ class MatcherConfig:
     # MatchLib.cu:499-549).  Disable only to pin the windowed kernel.
     warp_overflow_guard: bool = True
 
+    # Fused-stencil size gate: minimum level pixel count for the fused
+    # Pallas stencils (direction/smooth/blur) on TPU backends.  Below it
+    # the XLA chain is leaner (tile padding + kernel fixed costs dominate).
+    # Exposed because the break-even is hardware-dependent — e.g. the
+    # 615x407 fovea (250k px) sits right at the default boundary.
+    stencil_min_pixels: int = 256 * 1024
+
     # Level-resident backend ---------------------------------------------
     # Whole-level Pallas kernel (ops/pallas/level.py): runs a coarse
     # level's entire mi-iteration refinement loop in ONE kernel with every

@@ -43,7 +43,7 @@ def _use_pallas_stencil(cfg: MatcherConfig, height: int, width: int) -> bool:
     floor bound either way and XLA's fused elementwise chain is leaner)."""
     if cfg.warp_backend == "xla":
         return False
-    if height * width < 256 * 1024:
+    if height * width < cfg.stencil_min_pixels:
         return False
     return jax.default_backend() not in ("cpu",)
 
@@ -208,7 +208,12 @@ def _match_level_scan(left, right, disp, level_index, cfg: MatcherConfig,
     kernel is gated off or its overflow guard fires."""
     # Iteration-invariant: blurred left energy (the reference recomputes this
     # every iteration/channel — MatchGPULib.cpp:1809-1880 — pure waste).
-    blurred_l2 = blur_gaussian_clamp(left * left)
+    from ug_stereomatcher_tpu.ops.pallas.blur import (
+        fused_blur_gaussian, use_fused_blur)
+    if use_fused_blur(cfg, left.shape[-2], left.shape[-1]):
+        blurred_l2 = fused_blur_gaussian(left * left, boundary="clamp")
+    else:
+        blurred_l2 = blur_gaussian_clamp(left * left)
 
     use_pallas = _use_pallas_stencil(cfg, left.shape[-2], left.shape[-1])
 

@@ -23,6 +23,11 @@ import jax.numpy as jnp
 
 from ug_stereomatcher_tpu.config import MatcherConfig
 from ug_stereomatcher_tpu.ops.conv import blur_gaussian_zero
+
+
+def _use_fused_blur(cfg: "MatcherConfig", h: int, w: int) -> bool:
+    from ug_stereomatcher_tpu.ops.pallas.blur import use_fused_blur
+    return use_fused_blur(cfg, h, w)
 from ug_stereomatcher_tpu.ops.resample import (
     part_upsample_disp,
     subsample,
@@ -46,7 +51,13 @@ def build_pyramid(image: jnp.ndarray, cfg: MatcherConfig,
     levels[0] = image
     scale2 = float(int(cfg.scale * cfg.scale + 0.5))  # == 2.0 (MatchGPULib.cpp:1090)
     for i in range(n):
-        blurred = blur_gaussian_zero(levels[i])
+        lh, lw = levels[i].shape[-2], levels[i].shape[-1]
+        if _use_fused_blur(cfg, lh, lw):
+            from ug_stereomatcher_tpu.ops.pallas.blur import (
+                fused_blur_gaussian)
+            blurred = fused_blur_gaussian(levels[i], boundary="zero")
+        else:
+            blurred = blur_gaussian_zero(levels[i])
         if i == 0 and n > 1:
             h2, w2 = dims[1]
             levels[1] = subsample(blurred, h2, w2, cfg.scale, cfg.interp)
