@@ -277,3 +277,59 @@ class TestFusedBlurKernel:
             x, boundary="clamp", tile_rows=32, tile_cols=128,
             interpret=True))
         np.testing.assert_allclose(out, ref, rtol=3e-7, atol=1e-7)
+
+
+class TestMXUResampler:
+    """ops/pallas/resample.py: one-hot MXU selection must be bit-identical
+    to the XLA static-take path for nearest (1.0 is exact in every MXU
+    input format; the accumulator adds zeros), and match the float32
+    tex_gather to ~1e-5 for bilinear (trace-time float64 tap weights)."""
+
+    SCALE = 1.41421356
+
+    def _tex(self, img, out_h, out_w, coord_of, vs, method):
+        from ug_stereomatcher_tpu.ops.pallas.resample import resample_tex
+        return np.asarray(resample_tex(img, out_h, out_w, coord_of, vs,
+                                       method, interpret=True))
+
+    def test_nearest_bit_exact_all_shapes(self):
+        rng = np.random.RandomState(3)
+        img = jnp.asarray(rng.rand(3, 97, 211).astype(np.float32))
+        d = jnp.asarray(rng.rand(3, 68, 149).astype(np.float32))
+        s = self.SCALE
+        cases = [
+            (img, int(97 / s), int(211 / s), lambda t: t * s, 1.0,
+             ops.subsample(img, int(97 / s), int(211 / s), s, "nearest")),
+            (img, 48, 105, lambda t: t * 2.0, 1.0,
+             ops.subsample(img, 48, 105, 2.0, "nearest")),
+            (d, 97, 211, lambda t: t / s, s,
+             ops.upsample_disp(d, 97, 211, 1.0 / s, s, "nearest")),
+            (d, 97, 211, lambda t: t / s, s,
+             ops.part_upsample_disp(d, 97, 211, s, "nearest")),
+        ]
+        for src, h2, w2, coord, vs, ref in cases:
+            out = self._tex(src, h2, w2, coord, vs, "nearest")
+            np.testing.assert_array_equal(out, np.asarray(ref))
+
+    def test_bilinear_close(self):
+        rng = np.random.RandomState(4)
+        img = jnp.asarray(rng.rand(3, 97, 211).astype(np.float32))
+        s = self.SCALE
+        h2, w2 = int(97 / s), int(211 / s)
+        ref = np.asarray(ops.subsample(img, h2, w2, s, "bilinear"))
+        out = self._tex(img, h2, w2, lambda t: t * s, 1.0, "bilinear")
+        np.testing.assert_allclose(out, ref, rtol=5e-5, atol=5e-5)
+        d = jnp.asarray(rng.rand(3, 68, 149).astype(np.float32))
+        ref = np.asarray(ops.upsample_disp(d, 97, 211, 1.0 / s, s,
+                                           "bilinear"))
+        out = self._tex(d, 97, 211, lambda t: t / s, s, "bilinear")
+        np.testing.assert_allclose(out, ref, rtol=5e-5, atol=5e-5)
+
+    def test_2d_input(self):
+        rng = np.random.RandomState(5)
+        img2 = jnp.asarray(rng.rand(50, 130).astype(np.float32))
+        ref = np.asarray(ops.subsample(img2, 35, 91, self.SCALE, "nearest"))
+        out = self._tex(img2, 35, 91, lambda t: t * self.SCALE, 1.0,
+                        "nearest")
+        assert out.shape == (35, 91)
+        np.testing.assert_array_equal(out, ref)

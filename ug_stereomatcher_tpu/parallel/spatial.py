@@ -455,8 +455,21 @@ def sharded_match_pair(left: jnp.ndarray, right: jnp.ndarray,
     n_shards = mesh.shape[axis_name]
     h, w = left.shape[-2:]
     n = cfg.num_levels(h, w)
-    lp = pyr.build_pyramid(left, cfg, n)
-    rp = pyr.build_pyramid(right, cfg, n)
+    # Replicated sections (pyramid build, inter-level upsamples, sub-
+    # threshold levels) run on GLOBAL arrays inside the sharded jit; a
+    # Pallas custom call there cannot be SPMD-partitioned, so on a real
+    # multi-shard mesh those sections pin the pure-XLA ops.  The sharded
+    # hot levels keep the fused kernels via shard_map's explicit halo
+    # machinery (sharded_match_level), which is where the time is.
+    if n_shards > 1:
+        import dataclasses
+        cfg_rep = dataclasses.replace(
+            cfg, warp_backend="xla", level_backend="xla",
+            stencil_min_pixels=1 << 62)
+    else:
+        cfg_rep = cfg
+    lp = pyr.build_pyramid(left, cfg_rep, n)
+    rp = pyr.build_pyramid(right, cfg_rep, n)
     if foveated:
         lp = pyr.foveate_pyramid(lp, cfg, (h, w))
         rp = pyr.foveate_pyramid(rp, cfg, (h, w))
@@ -477,14 +490,14 @@ def sharded_match_pair(left: jnp.ndarray, right: jnp.ndarray,
                                        use_fused=use_fused,
                                        interpret=interpret)
         else:
-            disp = match_mod.match_level(lp[i], rp[i], disp, i, cfg,
+            disp = match_mod.match_level(lp[i], rp[i], disp, i, cfg_rep,
                                          is_coarsest)
         results[i] = disp
         if i > 0:
             if (not foveated) or i >= cfg.fovea_level:
                 h2, w2 = dims[i - 1]
-                disp = pyr.upsample_to_level(disp, h2, w2, cfg)
+                disp = pyr.upsample_to_level(disp, h2, w2, cfg_rep)
             else:
                 big_h, big_w = full_chain[cfg.fovea_level - 2]
-                disp = pyr.foveated_upsample(disp, big_h, big_w, cfg)
+                disp = pyr.foveated_upsample(disp, big_h, big_w, cfg_rep)
     return match_mod.PyramidMatchResult(levels=tuple(results))

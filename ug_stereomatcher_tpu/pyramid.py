@@ -28,6 +28,21 @@ from ug_stereomatcher_tpu.ops.conv import blur_gaussian_zero
 def _use_fused_blur(cfg: "MatcherConfig", h: int, w: int) -> bool:
     from ug_stereomatcher_tpu.ops.pallas.blur import use_fused_blur
     return use_fused_blur(cfg, h, w)
+
+
+def _resample(img, out_h: int, out_w: int, coord_of, value_scale: float,
+              cfg: "MatcherConfig", fallback):
+    """Axis-separable resample, dispatched to the MXU one-hot kernel
+    (ops/pallas/resample.py) on TPU when either side is large —
+    bit-identical for nearest; bilinear matches to ~1e-5 (trace-time
+    float64 tap weights vs the XLA path's float32 device coords).
+    ``fallback()`` must produce the exact XLA-path result."""
+    h, w = img.shape[-2], img.shape[-1]
+    if _use_fused_blur(cfg, max(h, out_h), max(w, out_w)):
+        from ug_stereomatcher_tpu.ops.pallas.resample import resample_tex
+        return resample_tex(img, out_h, out_w, coord_of, value_scale,
+                            cfg.interp)
+    return fallback()
 from ug_stereomatcher_tpu.ops.resample import (
     part_upsample_disp,
     subsample,
@@ -60,10 +75,15 @@ def build_pyramid(image: jnp.ndarray, cfg: MatcherConfig,
             blurred = blur_gaussian_zero(levels[i])
         if i == 0 and n > 1:
             h2, w2 = dims[1]
-            levels[1] = subsample(blurred, h2, w2, cfg.scale, cfg.interp)
+            levels[1] = _resample(
+                blurred, h2, w2, lambda t: t * cfg.scale, 1.0, cfg,
+                lambda: subsample(blurred, h2, w2, cfg.scale, cfg.interp))
         if i + 2 < n:
             h2, w2 = dims[i + 2]
-            levels[i + 2] = subsample(blurred, h2, w2, scale2, cfg.interp)
+            levels[i + 2] = _resample(
+                blurred, h2, w2, lambda t: t * scale2, 1.0, cfg,
+                lambda b=blurred, h2=h2, w2=w2: subsample(
+                    b, h2, w2, scale2, cfg.interp))
     return levels
 
 
@@ -96,10 +116,14 @@ def upsample_to_level(disp: jnp.ndarray, out_h: int, out_w: int,
 
     NOTE: the reference applies the value scaling to all three planes,
     including confidence (cfg.scale_conf_on_upsample)."""
-    up = upsample_disp(disp, out_h, out_w, 1.0 / cfg.scale, cfg.scale, cfg.interp)
+    inv = 1.0 / cfg.scale
+    up = _resample(disp, out_h, out_w, lambda t: t * inv, cfg.scale, cfg,
+                   lambda: upsample_disp(disp, out_h, out_w, inv, cfg.scale,
+                                         cfg.interp))
     if not cfg.scale_conf_on_upsample:
-        conf = upsample_disp(disp[2:3], out_h, out_w, 1.0 / cfg.scale, 1.0,
-                             cfg.interp)
+        conf = _resample(disp[2:3], out_h, out_w, lambda t: t * inv, 1.0,
+                         cfg, lambda: upsample_disp(disp[2:3], out_h, out_w,
+                                                    inv, 1.0, cfg.interp))
         up = jnp.concatenate([up[:2], conf], axis=0)
     return up
 
@@ -137,7 +161,10 @@ def hierarchical_disparity(stack: Sequence[jnp.ndarray], cfg: MatcherConfig,
     current = stack[cfg.fovea_level - 1]
     for level in range(cfg.fovea_level - 1, 0, -1):
         big_h, big_w = dims[level - 1]
-        up = part_upsample_disp(current, big_h, big_w, cfg.scale, cfg.interp)
+        up = _resample(
+            current, big_h, big_w, lambda t: t / cfg.scale, cfg.scale, cfg,
+            lambda c=current, bh=big_h, bw=big_w: part_upsample_disp(
+                c, bh, bw, cfg.scale, cfg.interp))
         left = big_w // 2 - xs
         upper = big_h // 2 - ys
         window = stack[level - 1]
