@@ -166,6 +166,15 @@ class MatcherConfig:
     #   path — exercises the real wiring incl. the overflow fallback);
     # "xla": off.
     level_backend: str = "auto"
+    # Coarse-tail program (ops/pallas/level.tail_resident_match): chain
+    # several coarse levels AND their inter-level upsamples in ONE Pallas
+    # call.  Measured perf-neutral at 16MP on the dev chip (the level
+    # kernels + MXU upsamples it absorbs are already near the dispatch
+    # floor) and its foveated-graph compile could not be validated on the
+    # dev rig before its TPU relay went down — so it defaults OFF;
+    # results are covered by the same overflow-fallback exactness
+    # contract as the single-level kernel when enabled.
+    level_tail: bool = False
 
     def warp_window_for_level(self, level_index: int) -> Tuple[int, int]:
         """(max_dy, max_dx) for a pyramid level, with floors that keep the
