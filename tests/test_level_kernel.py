@@ -184,8 +184,8 @@ class TestTailKernel:
         (same mask-algebra level runner, so the only residuals are the
         upsample backend — exact for nearest, ~1e-6 for bilinear — and
         compilation-context fusion noise, chaos-amplified for nearest)."""
-        h, w = 100, 140
-        cfg_k = kernel_cfg(interp=method, level_cutoff=2, min_dim=8)
+        h, w = 48, 68
+        cfg_k = kernel_cfg(interp=method, level_cutoff=2, min_dim=16)
         lp, rp, n = self._pyramids(h, w, cfg_k)
         dims = match_mod.level_dims_for_matching(cfg_k, h, w, n, False)
         span = match_mod._tail_span(cfg_k, dims, n, False, 3)
@@ -221,7 +221,7 @@ class TestTailKernel:
         tight float tolerance on a NON-degenerate scene — the same graph
         inside a cond branch fuses slightly differently)."""
         h, w = 64, 96
-        cfg_k = kernel_cfg(level_cutoff=2, min_dim=8,
+        cfg_k = kernel_cfg(level_cutoff=2, min_dim=16,
                            warp_max_dy=8, warp_max_dx=128)
         left, right = smooth_scene(h, w)
         n = cfg_k.num_levels(h, w)

@@ -333,3 +333,43 @@ class TestMXUResampler:
                         "nearest")
         assert out.shape == (35, 91)
         np.testing.assert_array_equal(out, ref)
+
+
+class TestMXUResamplerEdges:
+    """Boundary geometries of the MXU resampler: widths that are exact
+    vreg multiples (no lane padding exists for the bilinear +1 tap),
+    outputs shorter than one row tile, and strong downscales that force
+    the adaptive tile-height planner."""
+
+    def test_width_multiple_of_128_bilinear(self):
+        from ug_stereomatcher_tpu.ops.pallas.resample import resample_tex
+        rng = np.random.RandomState(9)
+        img = jnp.asarray(rng.rand(3, 64, 256).astype(np.float32))
+        s = 1.41421356
+        h2, w2 = 45, 181
+        ref = np.asarray(ops.subsample(img, h2, w2, s, "bilinear"))
+        out = np.asarray(resample_tex(img, h2, w2, lambda t: t * s, 1.0,
+                                      "bilinear", interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=5e-5, atol=5e-5)
+
+    def test_output_shorter_than_tile(self):
+        from ug_stereomatcher_tpu.ops.pallas.resample import resample_tex
+        rng = np.random.RandomState(10)
+        img = jnp.asarray(rng.rand(3, 200, 300).astype(np.float32))
+        ref = np.asarray(ops.subsample(img, 7, 11, 27.0, "nearest"))
+        out = np.asarray(resample_tex(img, 7, 11, lambda t: t * 27.0, 1.0,
+                                      "nearest", interpret=True))
+        np.testing.assert_array_equal(out, ref)
+
+    def test_strong_downscale_shrinks_tile(self):
+        from ug_stereomatcher_tpu.ops.pallas.resample import resample_static
+        rng = np.random.RandomState(11)
+        img = jnp.asarray(rng.rand(1500, 700).astype(np.float32))
+        iy = np.clip(np.floor((np.arange(100) + 0.5) * 15.0), 0,
+                     1499).astype(np.int32)
+        ix = np.clip(np.floor((np.arange(120) + 0.5) * 5.0), 0,
+                     699).astype(np.int32)
+        ref = np.asarray(img)[iy][:, ix] * 2.5
+        out = np.asarray(resample_static(img, iy, ix, value_scale=2.5,
+                                         interpret=True))
+        np.testing.assert_array_equal(out, ref)
