@@ -373,3 +373,15 @@ class TestMXUResamplerEdges:
         out = np.asarray(resample_static(img, iy, ix, value_scale=2.5,
                                          interpret=True))
         np.testing.assert_array_equal(out, ref)
+
+    def test_bilinear_lane_aligned_width_edge_collapse(self):
+        """Regression: a right-edge bilinear tap collapse at a width that
+        is already a 128 multiple used to make the column window CW
+        exceed the padded width and crash the dot at trace time."""
+        from ug_stereomatcher_tpu.ops.pallas.resample import resample_tex
+        rng = np.random.RandomState(12)
+        img = jnp.asarray(rng.rand(3, 1200, 256).astype(np.float32))
+        ref = np.asarray(ops.subsample(img, 460, 100, 2.6, "bilinear"))
+        out = np.asarray(resample_tex(img, 460, 100, lambda t: t * 2.6,
+                                      1.0, "bilinear", interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)

@@ -40,12 +40,11 @@ from ug_stereomatcher_tpu import pyramid as pyr
 def _use_pallas_stencil(cfg: MatcherConfig, height: int, width: int) -> bool:
     """Fused Pallas stencil kernels: on for TPU backends on levels large
     enough that tile padding doesn't dominate (small levels are dispatch-
-    floor bound either way and XLA's fused elementwise chain is leaner)."""
-    if cfg.warp_backend == "xla":
-        return False
-    if height * width < cfg.stencil_min_pixels:
-        return False
-    return jax.default_backend() not in ("cpu",)
+    floor bound either way and XLA's fused elementwise chain is leaner).
+    One shared predicate (ops/pallas/blur.use_fused_blur) gates every
+    fused stencil so the blur can never desynchronize from the rest."""
+    from ug_stereomatcher_tpu.ops.pallas.blur import use_fused_blur
+    return use_fused_blur(cfg, height, width)
 
 
 def _use_level_resident(cfg: MatcherConfig, channels: int, height: int,
@@ -208,9 +207,8 @@ def _match_level_scan(left, right, disp, level_index, cfg: MatcherConfig,
     kernel is gated off or its overflow guard fires."""
     # Iteration-invariant: blurred left energy (the reference recomputes this
     # every iteration/channel — MatchGPULib.cpp:1809-1880 — pure waste).
-    from ug_stereomatcher_tpu.ops.pallas.blur import (
-        fused_blur_gaussian, use_fused_blur)
-    if use_fused_blur(cfg, left.shape[-2], left.shape[-1]):
+    from ug_stereomatcher_tpu.ops.pallas.blur import fused_blur_gaussian
+    if _use_pallas_stencil(cfg, left.shape[-2], left.shape[-1]):
         blurred_l2 = fused_blur_gaussian(left * left, boundary="clamp")
     else:
         blurred_l2 = blur_gaussian_clamp(left * left)

@@ -42,6 +42,17 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def balanced_tile_cols(width: int, max_cols: int) -> int:
+    """Largest 128-aligned tile width <= max_cols that divides the
+    lane-padded image width into equal panels — so column padding never
+    exceeds one vreg (ops/pallas kernels previously padded W up to a
+    multiple of the full tile width, computing up to ~25% dead lanes on
+    some pyramid levels)."""
+    wp = _ceil_to(width, 128)
+    nj = -(-wp // max_cols)
+    return _ceil_to(-(-wp // nj), 128)
+
+
 def _blur_kernel(inp_ref, out_ref, bufs2, sems, *, C, TH, TW, taps, ni, nj):
     g = pl.program_id(0)
     n_tiles = ni * nj
@@ -116,7 +127,7 @@ def fused_blur_gaussian(x: jnp.ndarray, boundary: str = "zero",
         x = x[None]
     C, Hl, W = x.shape
     TH = tile_rows
-    TW = min(tile_cols, _ceil_to(W, 128))
+    TW = balanced_tile_cols(W, tile_cols)
     Hp = _ceil_to(Hl, TH)
     Wp = _ceil_to(W, TW)
     ni, nj = Hp // TH, Wp // TW

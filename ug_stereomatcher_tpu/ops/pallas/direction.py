@@ -34,6 +34,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ug_stereomatcher_tpu.ops.pallas.blur import balanced_tile_cols
+
 from ug_stereomatcher_tpu.config import gaussian_kernel
 from ug_stereomatcher_tpu.ops.pointwise import blend_confidence, parabola_fit
 
@@ -220,7 +222,7 @@ def fused_direction_update(left: jnp.ndarray, warped: jnp.ndarray,
     W = disp.shape[-1]
     H = int(global_h) if row_halo else Hl
     TH = tile_rows
-    TW = min(tile_cols, _ceil_to(W, 128))
+    TW = balanced_tile_cols(W, tile_cols)
     Hp = _ceil_to(Hl, TH)
     Wp = _ceil_to(W, TW)
     ni, nj = Hp // TH, Wp // TW

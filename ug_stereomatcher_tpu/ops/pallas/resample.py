@@ -199,7 +199,11 @@ def resample_static(img: jnp.ndarray, iy: np.ndarray, ix: np.ndarray,
         hi = int(blk.max()) + (1 if bilinear else 0)
         col_start.append(lo)
         CW = max(CW, hi - lo + 1)
-    CW = _ceil_to(CW, LANES)
+    # CW can exceed WP when a right-edge bilinear tap collapses at a
+    # width that is already lane-aligned (hi == W == WP); the collapsed
+    # tap carries weight 0 and a one-hot row with no hit contributes
+    # exactly 0, so clamping the window to the padded width is lossless.
+    CW = min(_ceil_to(CW, LANES), WP)
     col_start = [min(c, max(WP - CW, 0)) for c in col_start]
 
     inp = jnp.pad(img, ((0, 0), (0, Hp_in + BH - H), (0, WP - W)))

@@ -35,6 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ug_stereomatcher_tpu.ops.pallas.blur import balanced_tile_cols
+
 _AVG_TAP = 0.3333
 HW = 64  # horizontal halo (keeps DMA widths 128-aligned)
 
@@ -185,7 +187,7 @@ def fused_smooth_average(state: jnp.ndarray, n_passes: int,
     W = state.shape[-1]
     H = int(global_h) if row_halo else Hl
     TH = tile_rows
-    TW = min(tile_cols, _ceil_to(W, 128))
+    TW = balanced_tile_cols(W, tile_cols)
     Hp = _ceil_to(Hl, TH)
     Wp = _ceil_to(W, TW)
     ni, nj = Hp // TH, Wp // TW

@@ -23,6 +23,11 @@ import jax.numpy as jnp
 
 from ug_stereomatcher_tpu.config import MatcherConfig
 from ug_stereomatcher_tpu.ops.conv import blur_gaussian_zero
+from ug_stereomatcher_tpu.ops.resample import (
+    part_upsample_disp,
+    subsample,
+    upsample_disp,
+)
 
 
 def _use_fused_blur(cfg: "MatcherConfig", h: int, w: int) -> bool:
@@ -43,11 +48,6 @@ def _resample(img, out_h: int, out_w: int, coord_of, value_scale: float,
         return resample_tex(img, out_h, out_w, coord_of, value_scale,
                             cfg.interp)
     return fallback()
-from ug_stereomatcher_tpu.ops.resample import (
-    part_upsample_disp,
-    subsample,
-    upsample_disp,
-)
 
 
 def build_pyramid(image: jnp.ndarray, cfg: MatcherConfig,
