@@ -182,3 +182,40 @@ def test_two_process_distributed_smoke(tmp_path):
             pytest.skip(f"environment blocks local sockets: {out[-200:]}")
         assert rc == 0, out
         assert "OK" in out
+
+
+class _FakeDev:
+    """Minimal stand-in with real-device metadata (process_index, id)."""
+
+    def __init__(self, process_index, dev_id):
+        self.process_index = process_index
+        self.id = dev_id
+
+    def __repr__(self):
+        return f"d{self.process_index}.{self.id}"
+
+
+class TestPodMeshScrambledOrder:
+    def test_groups_by_process_not_list_order(self):
+        """Device lists whose order interleaves hosts (some real
+        topologies' id order) must still produce rows-groups confined to
+        a single host."""
+        # 2 hosts x 4 chips, interleaved list order h0,h1,h0,h1,...
+        devs = []
+        for i in range(4):
+            devs.append(_FakeDev(0, i))
+            devs.append(_FakeDev(1, 4 + i))
+        mesh = pod_mesh(2, devices=devs, n_local=4)
+        grid = np.array(mesh.devices)
+        assert mesh.shape == {"pairs": 4, "rows": 2}
+        for row in grid:
+            hosts = {d.process_index for d in row}
+            assert len(hosts) == 1, f"rows group spans hosts: {list(row)}"
+
+    def test_within_host_id_order(self):
+        devs = [_FakeDev(1, 7), _FakeDev(0, 2), _FakeDev(1, 5),
+                _FakeDev(0, 0)]
+        mesh = pod_mesh(2, devices=devs, n_local=2)
+        grid = np.array(mesh.devices)
+        ids = [[d.id for d in row] for row in grid]
+        assert ids == [[0, 2], [5, 7]]

@@ -289,3 +289,40 @@ class TestShardedFoveated:
         assert (d > 0.5).mean() < 0.10
         fov = cfg.fovea_dims(h, w)
         assert out.levels[0].shape[-2:] == fov
+
+
+class TestEffectiveWindow:
+    """Default warp windows (dy=160 at level 0) must not silently drop the
+    fused body when shards are small — the window self-shrinks to the
+    block height and the global overflow guard keeps exactness."""
+
+    def test_shardable_with_default_windows(self):
+        from ug_stereomatcher_tpu.parallel.spatial import (
+            _effective_warp_window, _fused_shardable)
+        cfg = MatcherConfig()
+        assert _fused_shardable(cfg, 0, 16)
+        dy, dx = _effective_warp_window(cfg, 0, 16)
+        assert dy == 16 and dx == cfg.warp_max_dx
+        # large shards keep the full window
+        dy_full, _ = _effective_warp_window(cfg, 0, 512)
+        assert dy_full == cfg.warp_window_for_level(0)[0]
+
+    def test_fused_default_window_small_shards(self, mesh4):
+        """Equivalence with DEFAULT windows at 16-row shards (the
+        configuration the old gate silently dropped to the unfused
+        body).  In-window scene: both paths stay on their windowed
+        kernels and must agree."""
+        h, w = 64, 144
+        left = _smooth_scene(_rng(300), 3, h, w)
+        right = _smooth_scene(_rng(301), 3, h, w)
+        disp = (_rng(302).rand(3, h, w).astype(np.float32) - 0.5)
+        cfg = MatcherConfig()   # default windows
+        ref = np.asarray(match_mod.match_level(
+            jnp.asarray(left), jnp.asarray(right), jnp.asarray(disp),
+            1, cfg, False))
+        out = np.asarray(par.sharded_match_level(
+            jnp.asarray(left), jnp.asarray(right), jnp.asarray(disp),
+            1, cfg, False, mesh4, use_fused=True, interpret=True))
+        d = np.abs(out - ref)
+        assert np.quantile(d, 0.99) <= 1e-3, (np.quantile(d, 0.99), d.max())
+        assert d.max() <= 0.05, d.max()

@@ -32,6 +32,15 @@ _RAW_GAUSSIAN = np.array(
 # 0.9999, which is observable over 22 iterations, so we keep the literal.
 _AVERAGE = np.array([0.0, 0.3333, 0.3333, 0.3333, 0.0], dtype=np.float64)
 
+# Correlation search moves (MatchGPULib.cpp:1677): left, right, up, down,
+# centre.  The horizontal parabola reads (left, centre, right); vertical
+# reads (up, centre, down) — calculatePolyDisparity call sites,
+# MatchGPULib.cpp:2129-2154.  One canonical copy: the scan path, the fused
+# direction kernel and the level-resident kernel must iterate the SAME
+# moves in the SAME order for their term-by-term float parity to hold.
+MOVES: Tuple[Tuple[int, int], ...] = ((-1, 0), (1, 0), (0, -1), (0, 1),
+                                      (0, 0))
+
 
 def gaussian_kernel() -> np.ndarray:
     """The effective 5-tap Gaussian blur kernel (float32, sums to 1)."""

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ug_stereomatcher_tpu.config import MatcherConfig
+from ug_stereomatcher_tpu.config import MOVES, MatcherConfig
 from ug_stereomatcher_tpu.ops.conv import (
     blur_average_clamp,
     blur_gaussian_clamp,
@@ -56,6 +56,8 @@ def _use_level_resident(cfg: MatcherConfig, channels: int, height: int,
     dispatch-floor-bound tail the kernel exists to cut)."""
     if cfg.level_backend == "xla" or channels != 3:
         return False
+    if cfg.dtype != "float32":
+        return False   # Pallas kernels are f32-only (see use_fused_blur)
     if cfg.level_backend in ("pallas", "interpret"):
         return True
     if cfg.level_backend != "auto":
@@ -76,7 +78,7 @@ def _use_pallas_warp(cfg: MatcherConfig, height: int, width: int) -> bool:
     tiling; the XLA gather stays the exact reference path elsewhere.
     Both interp modes ride the windowed kernel (bilinear = 4-tap one-hot
     variant), so the 10x-accuracy quality mode keeps the fast path."""
-    if cfg.warp_backend == "xla":
+    if cfg.warp_backend == "xla" or cfg.dtype != "float32":
         return False
     if cfg.warp_backend == "pallas":
         return True
@@ -122,11 +124,6 @@ def _warp(right, disp_h, disp_v, cfg: MatcherConfig, level_index: int):
         return warp_for_level(right, disp_h, disp_v, cfg, level_index)
     return warp_by_disparity(right, disp_h, disp_v, cfg.interp)
 
-# Correlation search moves (MatchGPULib.cpp:1677): left, right, up, down,
-# centre.  Horizontal parabola reads (left, centre, right); vertical reads
-# (up, centre, down) — see the calculatePolyDisparity call sites
-# (MatchGPULib.cpp:2129-2154).
-MOVES: Tuple[Tuple[int, int], ...] = ((-1, 0), (1, 0), (0, -1), (0, 1), (0, 0))
 
 
 def direction_maps(left: jnp.ndarray, warped: jnp.ndarray,
@@ -294,6 +291,8 @@ def _tail_span(cfg: MatcherConfig, dims, n: int, foveated: bool,
         return None
     if cfg.level_backend == "xla" or channels != 3 or n < 2:
         return None
+    if cfg.dtype != "float32":
+        return None   # Pallas kernels are f32-only
     forced = cfg.level_backend in ("pallas", "interpret")
     if not forced:
         if cfg.level_backend != "auto":

@@ -104,8 +104,11 @@ def _blur_kernel(inp_ref, out_ref, bufs2, sems, *, C, TH, TW, taps, ni, nj):
 def use_fused_blur(cfg, height: int, width: int) -> bool:
     """Gate: fused blur on TPU backends for levels large enough that tile
     padding doesn't dominate (same policy as the other fused stencils —
-    ``cfg.warp_backend`` is the master Pallas switch)."""
-    if cfg.warp_backend == "xla":
+    ``cfg.warp_backend`` is the master Pallas switch).  Non-float32
+    pipelines stay on XLA: every Pallas kernel here is f32-only (Mosaic
+    cannot rotate non-32-bit data, and an f32 kernel branch under the
+    overflow-guard lax.cond would type-mismatch a bf16 XLA branch)."""
+    if cfg.warp_backend == "xla" or cfg.dtype != "float32":
         return False
     if height * width < cfg.stencil_min_pixels:
         return False

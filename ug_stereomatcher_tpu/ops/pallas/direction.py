@@ -36,13 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ug_stereomatcher_tpu.ops.pallas.blur import balanced_tile_cols
 
-from ug_stereomatcher_tpu.config import gaussian_kernel
+from ug_stereomatcher_tpu.config import MOVES, gaussian_kernel
 from ug_stereomatcher_tpu.ops.pointwise import blend_confidence, parabola_fit
 
 HW = 64   # horizontal halo (DMA-alignment driven; compute uses <= 4)
 HALO = 4  # vertical halo (blur radius 2 + shift 1, rounded to 4)
 
-MOVES = ((-1, 0), (1, 0), (0, -1), (0, 1), (0, 0))
 
 
 def _ceil_to(x: int, m: int) -> int:

@@ -49,7 +49,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ug_stereomatcher_tpu.config import average_kernel, gaussian_kernel
+from ug_stereomatcher_tpu.config import (MOVES, average_kernel,
+                                         gaussian_kernel)
 from ug_stereomatcher_tpu.ops.pointwise import blend_confidence, parabola_fit
 from ug_stereomatcher_tpu.ops.pallas.warp import (
     BAND,
@@ -60,7 +61,6 @@ from ug_stereomatcher_tpu.ops.pallas.warp import (
     window_reach,
 )
 
-MOVES = ((-1, 0), (1, 0), (0, -1), (0, 1), (0, 0))
 
 
 def _ceil_to(x: int, m: int) -> int:

@@ -57,6 +57,20 @@ def make_batch_matcher(cfg: MatcherConfig, height: int, width: int,
     if mesh is None:
         return jax.jit(local_map)
 
+    if "rows" in mesh.shape and mesh.shape["rows"] > 1:
+        # The batch path shards over 'pairs' only: with a >1 rows axis
+        # every pair's computation is REPLICATED across its rows-group —
+        # correct, but (rows-1)/rows of those devices do redundant work.
+        # Batch throughput wants a pairs-only mesh (mesh_shape_for(n,
+        # n_pairs=batch) already yields one when batch >= n_devices);
+        # row sharding is for single-pair LATENCY (sharded_match_pair).
+        import warnings
+        warnings.warn(
+            f"make_batch_matcher shards over 'pairs' only; the mesh's "
+            f"rows axis (size {mesh.shape['rows']}) will replicate each "
+            f"pair's work across its rows-group. Use a pairs-only mesh "
+            f"for throughput.", stacklevel=2)
+
     n_pairs = mesh.shape["pairs"]
     spec = P("pairs")
     sharded = shard_map(local_map, mesh=mesh, in_specs=(spec, spec),

@@ -73,6 +73,13 @@ def pod_mesh(rows_per_host: Optional[int] = None, *,
     of ``n_local`` not exceeding it, so the rows axis never crosses a host
     boundary."""
     devices = list(jax.devices()) if devices is None else list(devices)
+    # jax.devices() id order is NOT guaranteed host-contiguous on every
+    # topology — group by the owning process first (stable by id within a
+    # host) so the reshape below cannot mix chips from different hosts
+    # into one rows-group.  Objects without process metadata (synthetic
+    # test grids) keep their given order.
+    if devices and all(hasattr(d, "process_index") for d in devices):
+        devices.sort(key=lambda d: (d.process_index, getattr(d, "id", 0)))
     if n_local is None:
         n_local = jax.local_device_count()
     n_local = max(1, min(n_local, len(devices)))

@@ -222,7 +222,7 @@ def _fused_level_body(left, right, disp0, *, cfg: MatcherConfig,
     hl = left.shape[-2]
     row0 = lax.axis_index(axis_name) * hl
 
-    dy, dx = cfg.warp_window_for_level(level_index)
+    dy, dx = _effective_warp_window(cfg, level_index, hl)
     vh = warp_halo_rows(dy)
     v_reach, h_reach = window_reach(dy, dx)
     sm_halo = smooth_halo_rows(n_smooth)
@@ -284,14 +284,26 @@ def _fused_level_body(left, right, disp0, *, cfg: MatcherConfig,
     return jnp.stack([dh, dv, cf])
 
 
+def _effective_warp_window(cfg: MatcherConfig, level_index: int,
+                           hl: int):
+    """The sharded warp's vertical halo must fit in one neighbour block,
+    so the window shrinks to the block height when shards are small
+    (e.g. 16MP level 0 over 32 shards).  Exactness is unchanged: the
+    fused body's GLOBAL overflow guard falls back to the exact all-gather
+    warp whenever the live field exceeds the (smaller) window's reach —
+    a narrower window only raises the fallback probability."""
+    dy, dx = cfg.warp_window_for_level(level_index)
+    return min(int(dy), max(8, (hl // 8) * 8)), dx
+
+
 def _fused_shardable(cfg: MatcherConfig, level_index: int, hl: int) -> bool:
     """The fused body's halo exchanges need each halo to fit in one
-    neighbour block."""
+    neighbour block.  The warp window self-shrinks to the block height
+    (_effective_warp_window), so only the minimum 8-row warp halo and the
+    fixed direction/smooth halos constrain shardability."""
     from ug_stereomatcher_tpu.ops.pallas.smooth import smooth_halo_rows
-    from ug_stereomatcher_tpu.ops.pallas.warp import warp_halo_rows
     from ug_stereomatcher_tpu.ops.pallas.direction import HALO as DIR_HALO
-    dy, _ = cfg.warp_window_for_level(level_index)
-    need = max(warp_halo_rows(dy), DIR_HALO,
+    need = max(8, DIR_HALO,
                smooth_halo_rows(cfg.smooth_passes_for_level(level_index)))
     return hl >= need
 
