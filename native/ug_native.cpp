@@ -246,8 +246,15 @@ int64_t ug_prefetcher_copy(void* handle, uint8_t* out, int64_t cap) {
 
 void ug_prefetcher_stop(void* handle) {
     auto* p = static_cast<UgPrefetcher*>(handle);
-    p->stop.store(true);
-    p->cv_space.notify_all();
+    {
+        // The store+notify must be serialized against the worker's
+        // predicate check under mu: an unlocked notify can land in the
+        // window between the worker evaluating (queue full, !stop) and
+        // blocking, after which no wakeup ever comes and join() hangs.
+        std::lock_guard<std::mutex> lk(p->mu);
+        p->stop.store(true);
+        p->cv_space.notify_all();
+    }
     if (p->worker.joinable()) p->worker.join();
     delete p;
 }

@@ -23,6 +23,7 @@ UG_GPU_matcher.cpp:203-213, 293-303).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -83,6 +84,27 @@ class FoveatedStackResult:
         return jnp.stack(chans)
 
 
+def _ensure_compile_cache() -> None:
+    """Enable JAX's persistent compilation cache once per process.
+
+    On relayed TPU backends a first compile takes minutes; the cache makes
+    it once-per-machine (the dev-rig rule bench.py already follows).
+    Honors an existing user setting; UG_JAX_CACHE_DIR overrides the
+    default path (set it empty to disable)."""
+    if getattr(jax.config, "jax_compilation_cache_dir", None):
+        return
+    cache = os.environ.get("UG_JAX_CACHE_DIR",
+                           os.path.expanduser("~/.cache/ug_tpu_jax"))
+    if not cache:
+        return
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # the cache is an optimization; never block engine startup
+
+
 def _to_chw(image: np.ndarray | jnp.ndarray, dtype) -> jnp.ndarray:
     """Accept (H, W, 3) uint8/float or (3, H, W); return (3, H, W) float."""
     arr = jnp.asarray(image)
@@ -129,6 +151,7 @@ class StereoEngine:
 
     def __init__(self, config: Optional[MatcherConfig] = None,
                  sync_timing: bool = False):
+        _ensure_compile_cache()
         self.config = config or MatcherConfig()
         self.sync_timing = sync_timing
         self._cache: Dict[Tuple, object] = {}

@@ -22,6 +22,20 @@ class ImageList:
     paths: List[str]
     at: int = 0
 
+    def __post_init__(self) -> None:
+        # the list is left1,right1,left2,right2,...; an odd-length list
+        # would silently pair a left image with the WRONG frame's right
+        # after the wrap (and pairs() would drop the dangling path)
+        if len(self.paths) % 2:
+            raise ValueError(
+                f"image list has {len(self.paths)} entries — stereo "
+                f"manifests must hold whole left/right pairs")
+
+    def skip_pair(self) -> None:
+        """Advance past one pair without touching the images (used by
+        checkpoint resume to skip completed work cheaply)."""
+        self.next_pair()
+
     def next_image(self) -> str:
         """settings.h:30-45 nextImage: past the end, restart at the
         next-to-last entry (so the final pair repeats forever)."""

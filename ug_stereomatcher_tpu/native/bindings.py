@@ -137,14 +137,17 @@ def read_ppm(path: str) -> np.ndarray:
         magic = fh.readline().split()
         if not magic or magic[0] != b"P6":
             raise ValueError(f"{path}: not a binary P6 PPM file")
-        vals: List[int] = [int(v) for v in magic[1:]]
+        def tokens(line: bytes) -> List[int]:
+            # a '#' starts a comment running to end of line — it may share
+            # the line with dimension tokens ("640 480 # scanner output")
+            return [int(v) for v in line.split(b"#", 1)[0].split()]
+
+        vals: List[int] = tokens(b" ".join(magic[1:]))
         while len(vals) < 3:
             line = fh.readline()
             if not line:
                 raise ValueError(f"{path}: truncated PPM header")
-            if line.startswith(b"#"):
-                continue
-            vals += [int(v) for v in line.split()]
+            vals += tokens(line)
         w_, h_, maxv = vals[0], vals[1], vals[2]
         if maxv != 255:
             raise ValueError(f"{path}: only maxval 255 PPMs supported")
@@ -154,6 +157,11 @@ def read_ppm(path: str) -> np.ndarray:
 
 def write_ppm(path: str, image: np.ndarray) -> None:
     image = np.ascontiguousarray(image, dtype=np.uint8)
+    if image.ndim != 3 or image.shape[2] != 3:
+        # the native writer fwrites w*h*3 bytes straight from this buffer
+        # — anything but (H, W, 3) would over-read or scramble channels
+        raise ValueError(
+            f"write_ppm needs an (H, W, 3) uint8 image, got {image.shape}")
     h, w = image.shape[:2]
     if ensure_built():
         if _lib.ug_ppm_write(path.encode(), image.ctypes.data, w, h) == 0:
@@ -182,7 +190,7 @@ class FilePrefetcher:
         else:
             import queue
             import threading as th
-            self._q: "queue.Queue" = __import__("queue").Queue(maxsize=capacity)
+            self._q: "queue.Queue" = queue.Queue(maxsize=capacity)
 
             def run():
                 for i, p in enumerate(self.paths):

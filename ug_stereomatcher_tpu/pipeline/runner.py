@@ -121,11 +121,22 @@ class BatchRunner:
         n_pairs = len(capture.images.pairs())
         if max_pairs is not None:
             n_pairs = min(n_pairs, max_pairs)
-        frames: Iterable = (_Prefetcher(capture, n_pairs) if self.prefetch
-                            else (capture.capture() for _ in range(n_pairs)))
         done = self._completed()
+        # resume without decoding completed pairs: skip a completed PREFIX
+        # cheaply by advancing the capture cursor (paths are known without
+        # touching pixels); holes mid-run still decode-and-skip below
+        skip = 0
+        while skip < n_pairs and skip in done:
+            skip += 1
+        for _ in range(skip):
+            capture.images.skip_pair()
+        remaining = n_pairs - skip
+        frames: Iterable = (_Prefetcher(capture, remaining) if self.prefetch
+                            else (capture.capture()
+                                  for _ in range(remaining)))
         results = []
-        for idx, frame in enumerate(frames):
+        for off, frame in enumerate(frames):
+            idx = skip + off
             if idx in done:
                 continue
             t0 = time.perf_counter()
@@ -158,8 +169,15 @@ class BatchRunner:
 
 
 def _block(res) -> None:
-    """Force device completion for honest timing."""
+    """Force device completion for honest timing.
+
+    A scalar readback, not ``block_until_ready``: on relayed backends
+    (this repo's dev rig) block_until_ready returns at dispatch time and
+    the recorded match_seconds would omit the device execution entirely
+    (the same rule engine._record and bench.py follow)."""
+    import jax.numpy as jnp
     for field in dataclasses.fields(res):
         v = getattr(res, field.name)
         if hasattr(v, "block_until_ready"):
-            v.block_until_ready()
+            float(jnp.sum(v))
+            return
