@@ -60,6 +60,12 @@ def epe_metrics(disp_h, disp_v, gt_h, gt_v, margin: int = 12,
         m = np.asarray(mask)[sl].astype(bool)
         eh, ev = eh[m], ev[m]
     epe = np.sqrt(eh ** 2 + ev ** 2)
+    if epe.size == 0:
+        # NaN stats make automated gates direction-dependent (nan < x is
+        # always False) — fail loudly instead
+        raise ValueError(
+            "epe_metrics: no pixels to evaluate (margin crop and/or mask "
+            "selected an empty region)")
     return EpeReport(
         mean_epe=float(epe.mean()),
         median_epe=float(np.median(epe)),
@@ -89,12 +95,13 @@ def _textured_base(h: int, w: int, rng: np.random.RandomState,
 def synthetic_scene(kind: str, height: int, width: int,
                     seed: int = 0, magnitude: float = 4.0
                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Generate (left, right, gt_h, gt_v): right(x + d(x)) == left(x).
+    """Generate (left, right, gt_h, gt_v) with EXACT dense ground truth:
+    right(x + d(x)) == left(x) for the returned d at every left pixel.
 
     kinds: 'constant' (fronto-parallel plane), 'slant' (disparity ramp),
     'sine' (smooth two-axis warp), 'vertical' (pure vertical shift)."""
     rng = np.random.RandomState(seed)
-    pad = int(np.ceil(magnitude)) + 4
+    pad = int(np.ceil(abs(magnitude))) + 4
     base = _textured_base(height + 2 * pad, width + 2 * pad, rng)
     ys, xs = np.mgrid[0:height, 0:width].astype(np.float32)
 
@@ -115,19 +122,24 @@ def synthetic_scene(kind: str, height: int, width: int,
     else:
         raise ValueError(f"unknown scene kind {kind!r}")
 
-    left = base[pad:pad + height, pad:pad + width]
-    # right(x) = left at (x - d): sample base at (x + pad - d) bilinearly
-    sx = xs + pad - gt_h
-    sy = ys + pad - gt_v
+    # EXACT ground truth: build LEFT by warping the base at (x + d(x)),
+    # keep RIGHT as a plain crop — then right(x + d(x)) == left(x) holds
+    # with d evaluated at the left pixel, which is precisely what
+    # epe_metrics scores.  (The previous construction sampled d at the
+    # destination pixel, biasing the "exact" gt by O(d * grad d): up to
+    # 0.13 px on the sine scene — at the scale the harness measures.)
+    right = base[pad:pad + height, pad:pad + width]
+    sx = xs + pad + gt_h
+    sy = ys + pad + gt_v
     x0 = np.floor(sx).astype(int)
     y0 = np.floor(sy).astype(int)
     ax = (sx - x0)[..., None]
     ay = (sy - y0)[..., None]
     b = base
-    right = ((1 - ax) * (1 - ay) * b[y0, x0]
-             + ax * (1 - ay) * b[y0, x0 + 1]
-             + (1 - ax) * ay * b[y0 + 1, x0]
-             + ax * ay * b[y0 + 1, x0 + 1])
+    left = ((1 - ax) * (1 - ay) * b[y0, x0]
+            + ax * (1 - ay) * b[y0, x0 + 1]
+            + (1 - ax) * ay * b[y0 + 1, x0]
+            + ax * ay * b[y0 + 1, x0 + 1])
     return (left.astype(np.uint8), right.astype(np.uint8),
             gt_h, gt_v)
 

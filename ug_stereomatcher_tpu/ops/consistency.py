@@ -31,10 +31,12 @@ def lr_consistency_mask(disp_lr_h: jnp.ndarray, disp_lr_v: jnp.ndarray,
     disp_lr_*: left->right fields on the left grid; disp_rl_*: right->left
     fields on the right grid.  Returns (mask bool (H, W), error (H, W))
     where error = ||d_lr(x) + d_rl(x + d_lr(x))||_2."""
-    back_h = warp_by_disparity(disp_rl_h, disp_lr_h, disp_lr_v, method)
-    back_v = warp_by_disparity(disp_rl_v, disp_lr_h, disp_lr_v, method)
-    eh = disp_lr_h + back_h
-    ev = disp_lr_v + back_v
+    # one gather-index computation for both fields (warp_by_disparity
+    # broadcasts over leading dims) — this runs per frame on full-res maps
+    back = warp_by_disparity(jnp.stack([disp_rl_h, disp_rl_v]),
+                             disp_lr_h, disp_lr_v, method)
+    eh = disp_lr_h + back[0]
+    ev = disp_lr_v + back[1]
     err = jnp.sqrt(eh * eh + ev * ev)
     return err <= tau, err
 

@@ -22,7 +22,10 @@ def weighted_difference(disp_new: jnp.ndarray, disp_old: jnp.ndarray,
     (MatchGPULib.cpp:1336 weightedDifference)."""
     num = jnp.sum(jnp.abs(disp_new - disp_old) * conf)
     den = jnp.sum(conf)
-    return num / den
+    # all-zero confidence (fully occluded/masked frame) would give 0/0 =
+    # NaN, and NaN < threshold is always False — has_converged would spin
+    # forever.  Zero weighted difference is the sensible degenerate value.
+    return jnp.where(den > 0.0, num / jnp.where(den > 0.0, den, 1.0), 0.0)
 
 
 def has_converged(disp_h_new, disp_h_old, disp_v_new, disp_v_old, conf,

@@ -79,8 +79,11 @@ class EngineSupervisor:
             except Exception as exc:  # device/runtime failure: rebuild
                 last_exc = exc
                 self.stats.failures += 1
-                if attempt < self.max_retries:
-                    self.restart()
+                # rebuild even on the FINAL failure: a caller that catches
+                # this error and continues must face a fresh engine on the
+                # next frame, not the poisoned one (with max_retries=0 the
+                # watchdog would otherwise never restart at all)
+                self.restart()
         raise RuntimeError(
             f"matcher failed after {self.max_retries + 1} attempts "
             f"({self.stats.failures} total failures)") from last_exc
