@@ -15,8 +15,9 @@ vs_baseline > 1 means faster than the reference CUDA matcher
 
 Env overrides: BENCH_H, BENCH_W (default 3264 x 4928 — the Glasgow rig
 resolution, calibrations/calL.xml), BENCH_REPEATS (default 3),
-BENCH_MODE ("all" | "mode1" | "foveated" | "throughput"),
-BENCH_BATCH (throughput mode batch size, default 8).
+BENCH_MODE ("all" | "mode1" | "foveated" | "throughput" | "scaling"),
+BENCH_BATCH (throughput mode batch size, default 8),
+BENCH_PROBE_TIMEOUT (fail-fast backend probe budget, seconds, default 120).
 """
 
 import json
@@ -38,6 +39,36 @@ def _setup_jax():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     return jax
+
+
+def _probe_backend(timeout_s=None):
+    """Fail-fast backend probe: initialise the backend + run one tiny jit in
+    a watchdog subprocess.  When the TPU relay is dead, raw backend init can
+    hang for ~25 minutes per attempt (BENCH_r02.json recorded rc=124 with no
+    structured output); this bounds the damage to BENCH_PROBE_TIMEOUT seconds
+    and lets main() emit one parseable ``bench_env_FAILED`` line instead.
+
+    Runs in a subprocess because a hung in-process backend init cannot be
+    interrupted portably; the parent stays clean either way.
+    """
+    import subprocess
+
+    timeout_s = timeout_s or float(os.environ.get("BENCH_PROBE_TIMEOUT", 120))
+    probe = (
+        "import jax, jax.numpy as jnp\n"
+        "d = jax.devices()\n"
+        "x = jax.jit(lambda a: a * 2.0)(jnp.ones((8, 128)))\n"
+        "print('PROBE_OK', d[0])\n"
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", probe],
+                           capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return f"backend probe timed out after {timeout_s:.0f}s"
+    if r.returncode != 0 or "PROBE_OK" not in r.stdout:
+        tail = (r.stderr or r.stdout).strip().splitlines()[-3:]
+        return "backend probe failed: " + " | ".join(tail)
+    return None
 
 
 def _octave_texture(h, w, seed=0):
@@ -183,7 +214,37 @@ def _throughput(jax, h, w, repeats):
     }
 
 
+def _scaling(jax, h, w, repeats):
+    """DP scaling table via parallel.throughput.measure_throughput across
+    1..N available devices (SURVEY.md §6 'frames/s efficiency at 1 chip /
+    1 host / N hosts').  On the single-chip dev rig this records the
+    1-device point; on a pod slice it records the whole efficiency curve."""
+    from ug_stereomatcher_tpu.parallel.throughput import measure_throughput
+
+    if (h, w) == (3264, 4928):
+        h, w = 408, 616   # scaling probe resolution (fovea-sized)
+    points = measure_throughput(height=h, width=w, repeats=repeats)
+    table = [{"devices": p.n_devices, "batch": p.batch,
+              "pairs_per_s": p.pairs_per_second,
+              "efficiency": p.scaling_efficiency} for p in points]
+    last = points[-1]
+    return {
+        "metric": f"dp_scaling_{h}x{w}",
+        "value": last.scaling_efficiency,
+        "unit": "efficiency_at_max_devices",
+        "vs_baseline": last.scaling_efficiency,  # ref has no multi-device
+        "extra": {"points": table, "devices": len(jax.devices()),
+                  "device": str(jax.devices()[0])},
+    }
+
+
 def main():
+    err = _probe_backend()
+    if err is not None:
+        print(json.dumps({"metric": "bench_env_FAILED", "value": 0,
+                          "unit": "n/a", "vs_baseline": 0,
+                          "error": err}))
+        return 1
     jax = _setup_jax()
     h = int(os.environ.get("BENCH_H", 3264))
     w = int(os.environ.get("BENCH_W", 4928))
@@ -192,6 +253,9 @@ def main():
 
     if mode == "throughput":
         print(json.dumps(_throughput(jax, h, w, repeats)))
+        return
+    if mode == "scaling":
+        print(json.dumps(_scaling(jax, h, w, repeats)))
         return
     if mode in ("mode1", "foveated"):
         print(json.dumps(_latency(jax, mode, h, w, repeats)))

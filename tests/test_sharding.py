@@ -201,6 +201,105 @@ class TestFusedShardedLevel:
         assert (d > 0.5).mean() < 0.05
 
 
+class TestShardedBuild:
+    """Round-3 stages: pyramid build + inter-level upsamples row-shard
+    instead of replicating (VERDICT.md round-2 item 1).  Nearest interp
+    must be BIT-identical to the single-device ops (static index planning
+    is the same float64 host arithmetic; gathers are pure selection)."""
+
+    def test_build_pyramid_bit_identical(self, mesh4):
+        h, w = 70, 52   # not divisible by 4: exercises in/out padding
+        img = _rng(400).rand(3, h, w).astype(np.float32) * 255
+        cfg = MatcherConfig()
+        from ug_stereomatcher_tpu import pyramid as pyr
+        n = cfg.num_levels(h, w)
+        ref = pyr.build_pyramid(jnp.asarray(img), cfg, n)
+        out = par.sharded_build_pyramid(jnp.asarray(img), cfg, n, mesh4,
+                                        min_rows_per_shard=8)
+        assert len(out) == n
+        for i in range(n):
+            np.testing.assert_array_equal(np.asarray(out[i]),
+                                          np.asarray(ref[i]), err_msg=f"level {i}")
+
+    def test_build_pyramid_bilinear_close(self, mesh4):
+        h, w = 64, 48
+        img = _rng(401).rand(3, h, w).astype(np.float32) * 255
+        cfg = MatcherConfig(interp="bilinear")
+        from ug_stereomatcher_tpu import pyramid as pyr
+        n = cfg.num_levels(h, w)
+        ref = pyr.build_pyramid(jnp.asarray(img), cfg, n)
+        out = par.sharded_build_pyramid(jnp.asarray(img), cfg, n, mesh4,
+                                        min_rows_per_shard=8)
+        for i in range(n):
+            np.testing.assert_allclose(np.asarray(out[i]),
+                                       np.asarray(ref[i]),
+                                       rtol=1e-4, atol=1e-3,
+                                       err_msg=f"level {i}")
+
+    @pytest.mark.parametrize("interp", ["nearest", "bilinear"])
+    def test_upsample_to_level(self, mesh4, interp):
+        cfg = MatcherConfig(interp=interp)
+        disp = (_rng(402).rand(3, 33, 26).astype(np.float32) - 0.5) * 4
+        from ug_stereomatcher_tpu import pyramid as pyr
+        ref = np.asarray(pyr.upsample_to_level(jnp.asarray(disp), 47, 37,
+                                               cfg))
+        out = np.asarray(par.sharded_upsample_to_level(
+            jnp.asarray(disp), 47, 37, cfg, mesh4, min_rows_per_shard=8))
+        if interp == "nearest":
+            np.testing.assert_array_equal(out, ref)
+        else:
+            np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def test_upsample_conf_quirk_off(self, mesh4):
+        cfg = MatcherConfig(scale_conf_on_upsample=False)
+        disp = (_rng(403).rand(3, 32, 24).astype(np.float32) - 0.5) * 4
+        from ug_stereomatcher_tpu import pyramid as pyr
+        ref = np.asarray(pyr.upsample_to_level(jnp.asarray(disp), 45, 34,
+                                               cfg))
+        out = np.asarray(par.sharded_upsample_to_level(
+            jnp.asarray(disp), 45, 34, cfg, mesh4, min_rows_per_shard=8))
+        np.testing.assert_array_equal(out, ref)
+
+    def test_small_output_replicated_path(self, mesh4):
+        """Outputs below the sharding threshold run replicated inside
+        shard_map and must still be bit-identical."""
+        cfg = MatcherConfig()
+        disp = (_rng(404).rand(3, 24, 18).astype(np.float32) - 0.5)
+        from ug_stereomatcher_tpu import pyramid as pyr
+        ref = np.asarray(pyr.upsample_to_level(jnp.asarray(disp), 30, 22,
+                                               cfg))
+        out = np.asarray(par.sharded_upsample_to_level(
+            jnp.asarray(disp), 30, 22, cfg, mesh4,
+            min_rows_per_shard=64))   # force the replicated body
+        np.testing.assert_array_equal(out, ref)
+
+    def test_sharded_blur_matches(self, mesh4):
+        cfg = MatcherConfig()
+        x = _rng(405).rand(3, 40, 28).astype(np.float32)
+        from ug_stereomatcher_tpu import ops
+        for boundary in ("zero", "clamp"):
+            ref = np.asarray(ops.conv_separable(jnp.asarray(x),
+                                                _GAUSS, boundary))
+            out = np.asarray(par.sharded_blur(jnp.asarray(x), boundary,
+                                              cfg, mesh4,
+                                              min_rows_per_shard=8))
+            np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+    def test_sharded_blur_fused_interpret(self, mesh4):
+        """The fused Pallas blur inside the sharded body (pre-haloed
+        blocks) must reproduce the global-boundary blur."""
+        cfg = MatcherConfig()
+        x = _rng(406).rand(3, 64, 144).astype(np.float32)
+        from ug_stereomatcher_tpu import ops
+        for boundary in ("zero", "clamp"):
+            ref = np.asarray(ops.conv_separable(jnp.asarray(x),
+                                                _GAUSS, boundary))
+            out = np.asarray(par.sharded_blur(
+                jnp.asarray(x), boundary, cfg, mesh4,
+                min_rows_per_shard=8, use_fused=True, interpret=True))
+            np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
 def _batch_pairs(rng, b, h, w):
     """Structured test pairs: right is a rolled left (matchable scene).
     Pure-noise pairs make the free-running comparison below needlessly
@@ -258,6 +357,56 @@ class TestBatch:
         assert p * r == 8 and p <= 2
         p, r = par.mesh_shape_for(8)
         assert p * r == 8
+
+
+class TestHybridBatch:
+    """batch < devices on a (pairs, rows) mesh: each pairs-group
+    row-shards its pair across its rows-group — all devices do useful
+    work (round-2 VERDICT item 2; the old path warned and replicated)."""
+
+    def test_hybrid_matches_single_pair_no_warning(self):
+        import warnings
+        rng = np.random.RandomState(79)
+        mesh = par.make_mesh(n_pairs_axis=2, n_rows_axis=4)
+        b, h, w = 2, 64, 48
+        left, right = _batch_pairs(rng, b, h, w)
+        left = _smooth_scene(rng, 3 * b, h, w).reshape(b, 3, h, w)
+        right = np.roll(left, 2, axis=-1)
+        cfg = MatcherConfig()
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            out = np.asarray(par.batch_match(left, right, cfg, mesh))
+        assert out.shape == (b, 3, h, w)
+        from ug_stereomatcher_tpu import pyramid as pyr
+        n = cfg.num_levels(h, w)
+        for i in range(b):
+            lp = pyr.build_pyramid(jnp.asarray(left[i]), cfg, n)
+            rp = pyr.build_pyramid(jnp.asarray(right[i]), cfg, n)
+            ref = match_mod.match_pyramid(lp, rp, cfg, (h, w))
+            d = np.abs(out[i] - np.asarray(ref.levels[0]))
+            assert np.median(d) < 0.05, (i, np.median(d))
+            assert (d > 0.5).mean() < 0.05, (i, (d > 0.5).mean())
+
+    def test_hybrid_chunks_uneven_batch(self):
+        """batch > pairs axis: host loop walks pairs-sized chunks and the
+        tail chunk pads with its last pair."""
+        rng = np.random.RandomState(80)
+        mesh = par.make_mesh(n_pairs_axis=2, n_rows_axis=4)
+        b, h, w = 3, 48, 40
+        left = _smooth_scene(rng, 3 * b, h, w).reshape(b, 3, h, w)
+        right = np.roll(left, 1, axis=-1)
+        cfg = MatcherConfig()
+        out = np.asarray(par.batch_match(left, right, cfg, mesh))
+        assert out.shape == (b, 3, h, w)
+        from ug_stereomatcher_tpu import pyramid as pyr
+        n = cfg.num_levels(h, w)
+        for i in (0, b - 1):
+            lp = pyr.build_pyramid(jnp.asarray(left[i]), cfg, n)
+            rp = pyr.build_pyramid(jnp.asarray(right[i]), cfg, n)
+            ref = match_mod.match_pyramid(lp, rp, cfg, (h, w))
+            d = np.abs(out[i] - np.asarray(ref.levels[0]))
+            assert np.median(d) < 0.05, (i, np.median(d))
+            assert (d > 0.5).mean() < 0.05, (i, (d > 0.5).mean())
 
 
 class TestShardedFoveated:

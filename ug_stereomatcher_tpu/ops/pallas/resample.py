@@ -285,20 +285,24 @@ def _bilinear_taps(n_out: int, n_in: int, coord_of):
 
 def resample_tex(img: jnp.ndarray, out_h: int, out_w: int, coord_of,
                  value_scale: float = 1.0, method: str = "nearest",
-                 interpret: bool = False) -> jnp.ndarray:
+                 interpret: bool = False, row_off: int = 0,
+                 col_off: int = 0) -> jnp.ndarray:
     """Axis-separable texture resample (CUDA texel-centre + clamp
     semantics) on the MXU kernel.  ``coord_of`` maps destination texel
     centres to source texel coordinates (same callback contract as
-    ops/resample._separable_nearest)."""
+    ops/resample._separable_nearest).  ``row_off``/``col_off`` evaluate
+    only a destination window (ops/resample.resample_coords contract)."""
     h, w = img.shape[-2], img.shape[-1]
+    coord_y = (lambda t: coord_of(t + row_off)) if row_off else coord_of
+    coord_x = (lambda t: coord_of(t + col_off)) if col_off else coord_of
     if method == "nearest":
-        iy = _nearest_indices(out_h, h, coord_of)
-        ix = _nearest_indices(out_w, w, coord_of)
+        iy = _nearest_indices(out_h, h, coord_y)
+        ix = _nearest_indices(out_w, w, coord_x)
         return resample_static(img, iy, ix, value_scale,
                                interpret=interpret)
     if method == "bilinear":
-        iy, wy = _bilinear_taps(out_h, h, coord_of)
-        ix, wx = _bilinear_taps(out_w, w, coord_of)
+        iy, wy = _bilinear_taps(out_h, h, coord_y)
+        ix, wx = _bilinear_taps(out_w, w, coord_x)
         return resample_static(img, iy, ix, value_scale, wy=wy, wx=wx,
                                interpret=interpret)
     raise ValueError(f"unknown method {method!r}")

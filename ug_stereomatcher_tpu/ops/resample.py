@@ -69,14 +69,16 @@ def tex_gather(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     raise ValueError(f"unknown method {method!r}")
 
 
-def _dest_coords(out_h: int, out_w: int, dtype=jnp.float32):
-    ys = (jnp.arange(out_h, dtype=dtype) + 0.5)[:, None]
-    xs = (jnp.arange(out_w, dtype=dtype) + 0.5)[None, :]
+def _dest_coords(out_h: int, out_w: int, dtype=jnp.float32,
+                 row_off: int = 0, col_off: int = 0):
+    ys = (jnp.arange(out_h, dtype=dtype) + row_off + 0.5)[:, None]
+    xs = (jnp.arange(out_w, dtype=dtype) + col_off + 0.5)[None, :]
     return jnp.broadcast_to(xs, (out_h, out_w)), jnp.broadcast_to(ys, (out_h, out_w))
 
 
 def _separable_nearest(img: jnp.ndarray, out_h: int, out_w: int,
-                       coord_of) -> jnp.ndarray:
+                       coord_of, row_off: int = 0,
+                       col_off: int = 0) -> jnp.ndarray:
     """Axis-separable nearest resample with *static* index vectors.
 
     All pyramid resamplers (subsample / disparity up-sample) have
@@ -84,14 +86,36 @@ def _separable_nearest(img: jnp.ndarray, out_h: int, out_w: int,
     factors into two per-axis takes with indices known at trace time —
     ~50x faster on TPU than a per-element gather, and bit-identical.
     ``coord_of(j)`` maps a destination index vector to source texel
-    coordinates."""
+    coordinates.  ``row_off``/``col_off`` shift the destination window:
+    the result equals rows [row_off, row_off+out_h) x cols
+    [col_off, col_off+out_w) of the full (unshifted) resample — used to
+    evaluate only a centred fovea crop instead of the whole grid."""
     h, w = img.shape[-2], img.shape[-1]
-    iy = np.clip(np.floor(coord_of(np.arange(out_h) + 0.5)), 0,
+    iy = np.clip(np.floor(coord_of(np.arange(out_h) + row_off + 0.5)), 0,
                  h - 1).astype(np.int32)
-    ix = np.clip(np.floor(coord_of(np.arange(out_w) + 0.5)), 0,
+    ix = np.clip(np.floor(coord_of(np.arange(out_w) + col_off + 0.5)), 0,
                  w - 1).astype(np.int32)
     out = jnp.take(img, jnp.asarray(iy), axis=-2)
     return jnp.take(out, jnp.asarray(ix), axis=-1)
+
+
+def resample_coords(img: jnp.ndarray, out_h: int, out_w: int, coord_of,
+                    value_scale: float = 1.0, method: str = "nearest",
+                    row_off: int = 0, col_off: int = 0) -> jnp.ndarray:
+    """Generic texture resample from a destination-axis coordinate callback
+    — the common form of subsample / upsample_disp / part_upsample_disp
+    (value scaling applied after the gather, as those do), with optional
+    destination-window offsets: only the [row_off, row_off+out_h) x
+    [col_off, col_off+out_w) window of the virtual full output grid is
+    evaluated.  foveated_upsample's crop-after-upsample
+    (MatchGPULib.cpp:1612-1644) collapses to one windowed call."""
+    if method == "nearest":
+        out = _separable_nearest(img, out_h, out_w, coord_of, row_off,
+                                 col_off)
+    else:
+        xs, ys = _dest_coords(out_h, out_w, img.dtype, row_off, col_off)
+        out = tex_gather(img, coord_of(xs), coord_of(ys), method)
+    return out if value_scale == 1.0 else value_scale * out
 
 
 def subsample(img: jnp.ndarray, out_h: int, out_w: int, scale: float,

@@ -20,9 +20,14 @@ from ug_stereomatcher_tpu.parallel.throughput import (
 )
 from ug_stereomatcher_tpu.parallel.spatial import (
     halo_pad_rows,
+    replicated_stage,
+    sharded_blur,
+    sharded_build_pyramid,
     sharded_conv_separable,
     sharded_match_level,
     sharded_match_pair,
+    sharded_resample,
+    sharded_upsample_to_level,
 )
 
 __all__ = [
@@ -34,7 +39,12 @@ __all__ = [
     "ThroughputPoint",
     "measure_throughput",
     "halo_pad_rows",
+    "replicated_stage",
+    "sharded_blur",
+    "sharded_build_pyramid",
     "sharded_conv_separable",
     "sharded_match_level",
     "sharded_match_pair",
+    "sharded_resample",
+    "sharded_upsample_to_level",
 ]

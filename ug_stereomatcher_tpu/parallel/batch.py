@@ -58,18 +58,15 @@ def make_batch_matcher(cfg: MatcherConfig, height: int, width: int,
         return jax.jit(local_map)
 
     if "rows" in mesh.shape and mesh.shape["rows"] > 1:
-        # The batch path shards over 'pairs' only: with a >1 rows axis
-        # every pair's computation is REPLICATED across its rows-group —
-        # correct, but (rows-1)/rows of those devices do redundant work.
-        # Batch throughput wants a pairs-only mesh (mesh_shape_for(n,
-        # n_pairs=batch) already yields one when batch >= n_devices);
-        # row sharding is for single-pair LATENCY (sharded_match_pair).
-        import warnings
-        warnings.warn(
-            f"make_batch_matcher shards over 'pairs' only; the mesh's "
-            f"rows axis (size {mesh.shape['rows']}) will replicate each "
-            f"pair's work across its rows-group. Use a pairs-only mesh "
-            f"for throughput.", stacklevel=2)
+        # Hybrid DP x SP: each pairs-group row-shards its pair across its
+        # rows-group (sharded_match_pair with a pairs axis), so ALL mesh
+        # devices do useful work when batch < n_devices — the natural
+        # pod-slice configuration (SURVEY.md §2.5: pair-batch DP x tile
+        # sharding as one mesh).  The batch is processed in chunks of the
+        # pairs-axis size by ONE cached jitted step (a host loop, not an
+        # unrolled mega-graph — the relay's compile endpoint rejects big
+        # programs).
+        return _make_hybrid_matcher(cfg, height, width, mesh)
 
     n_pairs = mesh.shape["pairs"]
     spec = P("pairs")
@@ -90,6 +87,44 @@ def make_batch_matcher(cfg: MatcherConfig, height: int, width: int,
     # input constraint — the shard_map inside the jit pins the (padded)
     # batch layout and GSPMD inserts the reshard
     return jax.jit(fn)
+
+
+def _make_hybrid_matcher(cfg: MatcherConfig, height: int, width: int,
+                         mesh: Mesh, interpret: bool = False,
+                         use_fused=None):
+    """DP x SP batch matcher for a (pairs, rows) mesh with rows > 1.
+
+    One jitted step matches ``pairs_ax`` pairs at once, each row-sharded
+    over its rows-group via sharded_match_pair(pairs_axis='pairs'); a host
+    loop walks the batch in pairs_ax-sized chunks (padding the last chunk
+    with its final pair) and reuses the single compiled step."""
+    from ug_stereomatcher_tpu.parallel.spatial import sharded_match_pair
+
+    p = mesh.shape["pairs"]
+
+    @jax.jit
+    def step(lb, rb):
+        res = sharded_match_pair(lb, rb, cfg, mesh, pairs_axis="pairs",
+                                 interpret=interpret, use_fused=use_fused)
+        return res.levels[0]
+
+    def fn(lb, rb):
+        b = lb.shape[0]
+        outs = []
+        for s in range(0, b, p):
+            lc = lb[s:s + p]
+            rc = rb[s:s + p]
+            pad = p - lc.shape[0]
+            if pad:
+                lc = jnp.concatenate([lc, jnp.broadcast_to(
+                    lc[-1:], (pad,) + lc.shape[1:])])
+                rc = jnp.concatenate([rc, jnp.broadcast_to(
+                    rc[-1:], (pad,) + rc.shape[1:])])
+            out = step(lc, rc)
+            outs.append(out[:min(p, b - s)])
+        return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+
+    return fn
 
 
 def batch_match(left_batch, right_batch, cfg: Optional[MatcherConfig] = None,

@@ -396,18 +396,58 @@ def _use_fused_body(cfg: MatcherConfig, level_index: int, true_h: int,
             and match_mod._use_pallas_warp(cfg, true_h, w))
 
 
+def _pad_rows_to(x: jnp.ndarray, total: int) -> jnp.ndarray:
+    """Zero-pad the row axis (-2) up to ``total`` rows."""
+    pad = total - x.shape[-2]
+    if pad == 0:
+        return x
+    cfgpad = [(0, 0)] * (x.ndim - 2) + [(0, pad), (0, 0)]
+    return jnp.pad(x, cfgpad)
+
+
+def _wrap_pairs(body, pairs_axis: Optional[str], n_out: int = 1):
+    """Adapt a (3, H, W)-shaped stage body to arrays carrying a leading
+    pairs-sharded batch axis (local batch must be exactly 1: the hybrid
+    DP x SP matcher feeds one pair per pairs-group per step)."""
+    if pairs_axis is None:
+        return body
+
+    def wrapped(*xs):
+        out = body(*[x[0] for x in xs])
+        if n_out == 1:
+            return out[None]
+        return tuple(o[None] for o in out)
+
+    return wrapped
+
+
+def _spec_for(ndim: int, axis_name: Optional[str],
+              pairs_axis: Optional[str]) -> P:
+    """PartitionSpec for a (..., H, W) array: rows over ``axis_name`` (None
+    = replicated rows), leading batch over ``pairs_axis`` when present."""
+    parts = [None] * ndim
+    if axis_name is not None:
+        parts[-2] = axis_name
+    if pairs_axis is not None:
+        parts[0] = pairs_axis
+    return P(*parts)
+
+
 def sharded_match_level(left: jnp.ndarray, right: jnp.ndarray,
                         disp: jnp.ndarray, level_index: int,
                         cfg: MatcherConfig, is_coarsest: bool,
                         mesh: Mesh, axis_name: str = "rows",
                         use_fused: Optional[bool] = None,
-                        interpret: bool = False) -> jnp.ndarray:
+                        interpret: bool = False,
+                        pairs_axis: Optional[str] = None) -> jnp.ndarray:
     """Row-sharded match_level.  Pads H to a multiple of the row-axis size,
     runs the shard_map level engine, and slices the true rows back out.
 
     ``use_fused``: None = auto (fused Pallas body on TPU for levels the
     single-device engine would also run fused); True/False force.
     ``interpret`` runs the Pallas kernels in interpreter mode (CPU tests).
+    ``pairs_axis``: arrays carry a leading batch axis sharded over that
+    mesh axis (hybrid DP x SP; one pair per pairs-group).
     Results match match.match_level exactly up to float rounding."""
     n = mesh.shape[axis_name]
     true_h, w = left.shape[-2], left.shape[-1]
@@ -423,12 +463,6 @@ def sharded_match_level(left: jnp.ndarray, right: jnp.ndarray,
             f"(padding {pad} >= local rows {hl}); use fewer shards or the "
             f"unsharded match_level")
 
-    def pad_rows(x):
-        if pad == 0:
-            return x
-        cfgpad = [(0, 0)] * (x.ndim - 2) + [(0, pad), (0, 0)]
-        return jnp.pad(x, cfgpad)
-
     # NOTE on equivalence: results match the single-device engine to float
     # noise (collective data movement reorders nothing, but fused-multiply
     # contraction differs), and the nearest-warp feedback amplifies that
@@ -442,11 +476,278 @@ def sharded_match_level(left: jnp.ndarray, right: jnp.ndarray,
         body = partial(_level_body, cfg=cfg, level_index=level_index,
                        is_coarsest=is_coarsest, true_h=true_h,
                        axis_name=axis_name)
-    spec = P(None, axis_name, None)
-    fn = shard_map(body, mesh=mesh, in_specs=(spec, spec, spec),
-                   out_specs=spec)
-    out = fn(pad_rows(left), pad_rows(right), pad_rows(disp))
+    spec = _spec_for(left.ndim, axis_name, pairs_axis)
+    fn = shard_map(_wrap_pairs(body, pairs_axis), mesh=mesh,
+                   in_specs=(spec, spec, spec), out_specs=spec)
+    out = fn(_pad_rows_to(left, hl * n), _pad_rows_to(right, hl * n),
+             _pad_rows_to(disp, hl * n))
     return out[..., :true_h, :]
+
+
+# ----------------------------------------------------------------------
+# Sharded pyramid-build / resample stages (round 3)
+#
+# Round 2 ran the pyramid build, inter-level upsamples and sub-threshold
+# levels replicated with every Pallas kernel force-disabled (`cfg_rep`):
+# correct, but each device redid those stages as unfused XLA at the full
+# image size — a replicated-work latency floor independent of shard count.
+# Each stage below is its own shard_map: large stages row-shard with
+# explicit halos/windows (1/n work per device, fused Pallas blur riding
+# inside), and small stages run replicated INSIDE shard_map — every device
+# redundantly computes the full (tiny) array, which keeps Pallas legal
+# (a Pallas custom call outside shard_map cannot be SPMD-partitioned by
+# GSPMD) and keeps the level-resident kernel's dispatch-floor win live on
+# coarse levels.  Reference scope: CreatePyramidFromImage / subsampleDisp
+# (MatchGPULib.cpp:1033-1125, :1526-1590) at multi-chip scale.
+# ----------------------------------------------------------------------
+
+
+def _row_ok(true_h: int, n: int, min_rows: int) -> bool:
+    """Row-shard a stage?  Needs even-ish division (pad < local rows, the
+    _refresh_pad invariant) and enough rows to be worth a collective."""
+    hl = -(-true_h // n)
+    return (hl * n - true_h) < hl and true_h >= min_rows * n
+
+
+def replicated_stage(fn, mesh: Mesh, pairs_axis: Optional[str], *arrays):
+    """Run ``fn(*arrays)`` replicated inside shard_map: every device
+    computes the full result (identical inputs -> identical outputs).  The
+    fn may contain Pallas calls / lax.cond — they execute per-device as
+    local code, which plain GSPMD partitioning cannot do for custom
+    calls."""
+    specs = tuple(_spec_for(a.ndim, None, pairs_axis) for a in arrays)
+    shaped = jax.eval_shape(fn, *[
+        jax.ShapeDtypeStruct(a.shape[1:] if pairs_axis else a.shape,
+                             a.dtype) for a in arrays])
+    out_spec = _spec_for(len(shaped.shape) + (1 if pairs_axis else 0),
+                         None, pairs_axis)
+    wrapped = shard_map(_wrap_pairs(fn, pairs_axis), mesh=mesh,
+                        in_specs=specs, out_specs=out_spec)
+    return wrapped(*arrays)
+
+
+def sharded_blur(x: jnp.ndarray, boundary: str, cfg: MatcherConfig,
+                 mesh: Mesh, axis_name: str = "rows",
+                 pairs_axis: Optional[str] = None,
+                 min_rows_per_shard: int = 16,
+                 use_fused: Optional[bool] = None,
+                 interpret: bool = False) -> jnp.ndarray:
+    """Row-sharded 5-tap Gaussian blur of a global (..., H, W) array.
+
+    Large inputs: shard_map body exchanges a 2-row halo and runs the fused
+    Pallas blur on the local block (the kernel's own vertical padding only
+    touches rows outside the sliced-out window, so pre-haloed blocks give
+    the exact global-boundary result); the XLA halo conv is the small/CPU
+    body.  Small inputs run replicated inside shard_map with the
+    single-device gates (pyramid._use_fused_blur) intact."""
+    from ug_stereomatcher_tpu.ops.conv import blur_gaussian_clamp
+    from ug_stereomatcher_tpu.ops.conv import blur_gaussian_zero
+    from ug_stereomatcher_tpu.ops.pallas.blur import (fused_blur_gaussian,
+                                                      use_fused_blur)
+
+    n = mesh.shape[axis_name]
+    true_h, w = x.shape[-2], x.shape[-1]
+    if _row_ok(true_h, n, min_rows_per_shard):
+        hl = -(-true_h // n)
+        fused = (use_fused if use_fused is not None
+                 else use_fused_blur(cfg, hl, w))
+
+        def body(xl):
+            if fused:
+                xr = _refresh_pad(xl, true_h, axis_name, boundary)
+                xe = halo_pad_rows(xr, 2, axis_name, boundary)
+                out = fused_blur_gaussian(xe, boundary=boundary,
+                                          interpret=interpret)
+                return out[..., 2:2 + hl, :]
+            return sharded_conv_separable(xl, _GAUSS, axis_name, boundary,
+                                          true_h)
+
+        spec = _spec_for(x.ndim, axis_name, pairs_axis)
+        fn = shard_map(_wrap_pairs(body, pairs_axis), mesh=mesh,
+                       in_specs=(spec,), out_specs=spec)
+        return fn(_pad_rows_to(x, hl * n))[..., :true_h, :]
+
+    def rep(xl):
+        fused = (use_fused if use_fused is not None
+                 else use_fused_blur(cfg, true_h, w))
+        if fused:
+            return fused_blur_gaussian(xl, boundary=boundary,
+                                       interpret=interpret)
+        return (blur_gaussian_zero(xl) if boundary == "zero"
+                else blur_gaussian_clamp(xl))
+
+    return replicated_stage(rep, mesh, pairs_axis, x)
+
+
+def _resample_taps(n_out: int, n_in: int, coord_of, method: str):
+    """Static per-axis taps: (i0, i1, w) int32/float32 numpy arrays; w is
+    None for nearest.  Same float64 host arithmetic as the single-device
+    planners (ops/resample._separable_nearest, ops/pallas/resample)."""
+    from ug_stereomatcher_tpu.ops.pallas.resample import (_bilinear_taps,
+                                                          _nearest_indices)
+    if method == "nearest":
+        i0 = _nearest_indices(n_out, n_in, coord_of)
+        return i0, i0, None
+    i0, w = _bilinear_taps(n_out, n_in, coord_of)
+    i1 = np.minimum(i0 + 1, n_in - 1).astype(np.int32)
+    return i0, i1, w
+
+
+def _width_resample(x, ix0, ix1, wx):
+    if wx is None:
+        return jnp.take(x, jnp.asarray(ix0), axis=-1)
+    g0 = jnp.take(x, jnp.asarray(ix0), axis=-1)
+    g1 = jnp.take(x, jnp.asarray(ix1), axis=-1)
+    w = jnp.asarray(wx)
+    return g0 * (1.0 - w) + g1 * w
+
+
+def sharded_resample(x: jnp.ndarray, out_h: int, out_w: int, coord_of,
+                     value_scale: float, cfg: MatcherConfig, mesh: Mesh,
+                     axis_name: str = "rows",
+                     pairs_axis: Optional[str] = None,
+                     min_rows_per_shard: int = 16,
+                     use_fused: Optional[bool] = None,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Row-sharded separable texture resample of a global (..., H, W)
+    array (ops/resample.resample_coords semantics: texel-centre coords via
+    ``coord_of``, clamp addressing, value scaling after the gather).
+
+    Sharded height pass: output shard k's source rows form a bounded,
+    host-precomputed window; a ``ppermute`` halo attaches the out-of-block
+    rows and a dynamic per-shard row-take (static (n, hl_out) index matrix
+    selected by axis_index) gathers them.  Width pass is local with static
+    indices.  Nearest is bit-identical to the single-device takes;
+    bilinear interpolates width-then-height, tex_gather's exact order.
+    Small outputs run replicated with the single-device dispatch gates
+    (MXU one-hot kernel on TPU) intact."""
+    from ug_stereomatcher_tpu.ops.pallas.blur import use_fused_blur
+    from ug_stereomatcher_tpu.ops.pallas.resample import resample_tex
+    from ug_stereomatcher_tpu.ops.resample import resample_coords
+
+    n = mesh.shape[axis_name]
+    in_h, in_w = x.shape[-2], x.shape[-1]
+    method = cfg.interp
+
+    if not _row_ok(out_h, n, min_rows_per_shard):
+        def rep(xl):
+            fused = (use_fused if use_fused is not None
+                     else use_fused_blur(cfg, max(in_h, out_h),
+                                         max(in_w, out_w)))
+            if fused:
+                return resample_tex(xl, out_h, out_w, coord_of,
+                                    value_scale, method,
+                                    interpret=interpret)
+            return resample_coords(xl, out_h, out_w, coord_of,
+                                   value_scale, method)
+
+        return replicated_stage(rep, mesh, pairs_axis, x)
+
+    ix0, ix1, wx = _resample_taps(out_w, in_w, coord_of, method)
+    iy0, iy1, wy = _resample_taps(out_h, in_h, coord_of, method)
+    hl_out = -(-out_h // n)
+    out_pad = hl_out * n - out_h
+
+    def pad_idx(v, fill):
+        return np.concatenate([v, np.full(out_pad, fill, v.dtype)])
+
+    iy0m = pad_idx(iy0, iy0[-1]).reshape(n, hl_out)
+    iy1m = pad_idx(iy1, iy1[-1]).reshape(n, hl_out)
+    wym = (pad_idx(wy, 0.0).reshape(n, hl_out)
+           if wy is not None else None)
+
+    in_sharded = _row_ok(in_h, n, min_rows_per_shard)
+    halo = 0
+    hl_in = in_h
+    if in_sharded:
+        hl_in = -(-in_h // n)
+        base = np.arange(n) * hl_in
+        halo_up = int(np.maximum(base - iy0m.min(axis=1), 0).max())
+        halo_dn = int(np.maximum(iy1m.max(axis=1)
+                                 - (base + hl_in - 1), 0).max())
+        halo = max(halo_up, halo_dn)
+        if halo > hl_in:
+            # window spans beyond one neighbour block (extreme scale
+            # factor for this mesh) — fall back to a replicated input
+            in_sharded = False
+            halo = 0
+            hl_in = in_h
+
+    def body(xl):
+        xw = _width_resample(xl, ix0, ix1, wx)
+        k = lax.axis_index(axis_name)
+        iy0v = jnp.asarray(iy0m)[k]
+        if in_sharded:
+            xe = (halo_pad_rows(xw, halo, axis_name, "clamp")
+                  if halo else xw)
+            base_k = k * hl_in - halo
+        else:
+            xe = xw
+            base_k = 0
+        g = jnp.take(xe, iy0v - base_k, axis=-2)
+        if wym is not None:
+            iy1v = jnp.asarray(iy1m)[k]
+            g1 = jnp.take(xe, iy1v - base_k, axis=-2)
+            wv = jnp.asarray(wym)[k][:, None]
+            g = g * (1.0 - wv) + g1 * wv
+        return g if value_scale == 1.0 else value_scale * g
+
+    in_spec = _spec_for(x.ndim, axis_name if in_sharded else None,
+                        pairs_axis)
+    out_spec = _spec_for(x.ndim, axis_name, pairs_axis)
+    fn = shard_map(_wrap_pairs(body, pairs_axis), mesh=mesh,
+                   in_specs=(in_spec,), out_specs=out_spec)
+    xin = _pad_rows_to(x, hl_in * n) if in_sharded else x
+    return fn(xin)[..., :out_h, :]
+
+
+def sharded_upsample_to_level(disp: jnp.ndarray, out_h: int, out_w: int,
+                              cfg: MatcherConfig, mesh: Mesh, **kw
+                              ) -> jnp.ndarray:
+    """Sharded pyramid.upsample_to_level: values x SCALE, with the
+    confidence-plane quirk handled exactly as the single-device op."""
+    inv = 1.0 / cfg.scale
+    up = sharded_resample(disp, out_h, out_w, lambda t: t * inv,
+                          cfg.scale, cfg, mesh, **kw)
+    if not cfg.scale_conf_on_upsample:
+        conf = sharded_resample(disp[..., 2:3, :, :], out_h, out_w,
+                                lambda t: t * inv, 1.0, cfg, mesh, **kw)
+        up = jnp.concatenate([up[..., :2, :, :], conf], axis=-3)
+    return up
+
+
+def sharded_build_pyramid(image: jnp.ndarray, cfg: MatcherConfig, n: int,
+                          mesh: Mesh, axis_name: str = "rows",
+                          pairs_axis: Optional[str] = None,
+                          min_rows_per_shard: int = 16,
+                          use_fused: Optional[bool] = None,
+                          interpret: bool = False):
+    """Row-sharded pyramid.build_pyramid: per level one sharded blur and
+    the even/odd factor-2 resample chain, large stages at 1/n work per
+    device.  Nearest interp is bit-identical to the single-device build."""
+    h, w = image.shape[-2], image.shape[-1]
+    dims = cfg.dims_chain(h, w)
+    kw = dict(axis_name=axis_name, pairs_axis=pairs_axis,
+              min_rows_per_shard=min_rows_per_shard, use_fused=use_fused,
+              interpret=interpret)
+    levels = [None] * n
+    levels[0] = image
+    scale2 = float(int(cfg.scale * cfg.scale + 0.5))  # == 2.0
+    for i in range(n):
+        targets = []
+        if i == 0 and n > 1:
+            targets.append((1, cfg.scale))
+        if i + 2 < n:
+            targets.append((i + 2, scale2))
+        if not targets:
+            continue
+        blurred = sharded_blur(levels[i], "zero", cfg, mesh, **kw)
+        for (j, s) in targets:
+            h2, w2 = dims[j]
+            levels[j] = sharded_resample(
+                blurred, h2, w2, lambda t, s=s: t * s, 1.0, cfg, mesh,
+                **kw)
+    return levels
 
 
 def sharded_match_pair(left: jnp.ndarray, right: jnp.ndarray,
@@ -455,61 +756,66 @@ def sharded_match_pair(left: jnp.ndarray, right: jnp.ndarray,
                        min_rows_per_shard: int = 16,
                        foveated: bool = False,
                        use_fused: Optional[bool] = None,
-                       interpret: bool = False
+                       interpret: bool = False,
+                       pairs_axis: Optional[str] = None
                        ) -> match_mod.PyramidMatchResult:
-    """Full coarse-to-fine match of one pair with large levels row-sharded.
+    """Full coarse-to-fine match with EVERY stage under shard_map: pyramid
+    build, level refinement and inter-level upsamples row-shard when large
+    (explicit ppermute halos; fused Pallas kernels live in the sharded
+    bodies), and run replicated inside shard_map when small — so no stage
+    replicates large unfused XLA work, and no Pallas call sits in plain
+    GSPMD land.  In foveated mode the fixed-size fovea levels follow the
+    same size rule (they are usually below the sharding threshold).
 
-    Pyramid build, disparity up-sampling and levels with fewer than
-    min_rows_per_shard * n_shards rows run as plain (replicated) ops; the
-    hot fine levels run under shard_map.  In foveated mode the fixed-size
-    fovea levels are always replicated (they are small by construction)
-    while the coarse full-resolution levels shard as usual."""
-    n_shards = mesh.shape[axis_name]
+    With ``pairs_axis``, inputs carry a leading batch axis (one pair per
+    pairs-group) and the whole graph composes DP x SP over the 2-D mesh."""
     h, w = left.shape[-2:]
     n = cfg.num_levels(h, w)
-    # Replicated sections (pyramid build, inter-level upsamples, sub-
-    # threshold levels) run on GLOBAL arrays inside the sharded jit; a
-    # Pallas custom call there cannot be SPMD-partitioned, so on a real
-    # multi-shard mesh those sections pin the pure-XLA ops.  The sharded
-    # hot levels keep the fused kernels via shard_map's explicit halo
-    # machinery (sharded_match_level), which is where the time is.
-    if n_shards > 1:
-        import dataclasses
-        cfg_rep = dataclasses.replace(
-            cfg, warp_backend="xla", level_backend="xla",
-            stencil_min_pixels=1 << 62)
-    else:
-        cfg_rep = cfg
-    lp = pyr.build_pyramid(left, cfg_rep, n)
-    rp = pyr.build_pyramid(right, cfg_rep, n)
+    kw = dict(axis_name=axis_name, pairs_axis=pairs_axis,
+              min_rows_per_shard=min_rows_per_shard, use_fused=use_fused,
+              interpret=interpret)
+    if pairs_axis is not None and left.shape[0] != mesh.shape[pairs_axis]:
+        raise ValueError(
+            f"pairs_axis mode needs batch == mesh '{pairs_axis}' size "
+            f"({mesh.shape[pairs_axis]}); got {left.shape[0]} — chunk the "
+            f"batch (parallel.batch.make_batch_matcher does)")
+
+    lp = sharded_build_pyramid(left, cfg, n, mesh, **kw)
+    rp = sharded_build_pyramid(right, cfg, n, mesh, **kw)
     if foveated:
         lp = pyr.foveate_pyramid(lp, cfg, (h, w))
         rp = pyr.foveate_pyramid(rp, cfg, (h, w))
     dims = match_mod.level_dims_for_matching(cfg, h, w, n, foveated)
     full_chain = cfg.dims_chain(h, w)
+    n_shards = mesh.shape[axis_name]
 
     results = [None] * n
     hh, ww = dims[n - 1]
-    disp = jnp.zeros((3, hh, ww), dtype=left.dtype)
+    bshape = (left.shape[0],) if pairs_axis is not None else ()
+    disp = jnp.zeros(bshape + (3, hh, ww), dtype=left.dtype)
     for i in range(n - 1, -1, -1):
         is_coarsest = i == n - 1
-        hl = -(-dims[i][0] // n_shards)
-        shardable = (hl * n_shards - dims[i][0]) < hl
-        if (shardable and n_shards > 1
-                and dims[i][0] >= min_rows_per_shard * n_shards):
+        if _row_ok(dims[i][0], n_shards, min_rows_per_shard):
             disp = sharded_match_level(lp[i], rp[i], disp, i, cfg,
                                        is_coarsest, mesh, axis_name,
                                        use_fused=use_fused,
-                                       interpret=interpret)
+                                       interpret=interpret,
+                                       pairs_axis=pairs_axis)
         else:
-            disp = match_mod.match_level(lp[i], rp[i], disp, i, cfg_rep,
-                                         is_coarsest)
+            disp = replicated_stage(
+                partial(match_mod.match_level, level_index=i, cfg=cfg,
+                        is_coarsest=is_coarsest),
+                mesh, pairs_axis, lp[i], rp[i], disp)
         results[i] = disp
         if i > 0:
             if (not foveated) or i >= cfg.fovea_level:
                 h2, w2 = dims[i - 1]
-                disp = pyr.upsample_to_level(disp, h2, w2, cfg_rep)
+                disp = sharded_upsample_to_level(disp, h2, w2, cfg, mesh,
+                                                 **kw)
             else:
                 big_h, big_w = full_chain[cfg.fovea_level - 2]
-                disp = pyr.foveated_upsample(disp, big_h, big_w, cfg_rep)
+                disp = replicated_stage(
+                    partial(pyr.foveated_upsample, big_h=big_h,
+                            big_w=big_w, cfg=cfg),
+                    mesh, pairs_axis, disp)
     return match_mod.PyramidMatchResult(levels=tuple(results))

@@ -25,6 +25,7 @@ from ug_stereomatcher_tpu.config import MatcherConfig
 from ug_stereomatcher_tpu.ops.conv import blur_gaussian_zero
 from ug_stereomatcher_tpu.ops.resample import (
     part_upsample_disp,
+    resample_coords,
     subsample,
     upsample_disp,
 )
@@ -36,17 +37,20 @@ def _use_fused_blur(cfg: "MatcherConfig", h: int, w: int) -> bool:
 
 
 def _resample(img, out_h: int, out_w: int, coord_of, value_scale: float,
-              cfg: "MatcherConfig", fallback):
+              cfg: "MatcherConfig", fallback, row_off: int = 0,
+              col_off: int = 0):
     """Axis-separable resample, dispatched to the MXU one-hot kernel
     (ops/pallas/resample.py) on TPU when either side is large —
     bit-identical for nearest; bilinear matches to ~1e-5 (trace-time
     float64 tap weights vs the XLA path's float32 device coords).
-    ``fallback()`` must produce the exact XLA-path result."""
+    ``fallback()`` must produce the exact XLA-path result.
+    ``row_off``/``col_off`` select a destination window
+    (ops/resample.resample_coords contract)."""
     h, w = img.shape[-2], img.shape[-1]
     if _use_fused_blur(cfg, max(h, out_h), max(w, out_w)):
         from ug_stereomatcher_tpu.ops.pallas.resample import resample_tex
         return resample_tex(img, out_h, out_w, coord_of, value_scale,
-                            cfg.interp)
+                            cfg.interp, row_off=row_off, col_off=col_off)
     return fallback()
 
 
@@ -133,12 +137,32 @@ def foveated_upsample(disp: jnp.ndarray, big_h: int, big_w: int,
     """Fovea-to-fovea level transition: upsample the fovea-sized disparity to
     the (big_h, big_w) grid of the next finer full-size level, then crop the
     centred fovea window back out (foveatedsubsampleDisp,
-    MatchGPULib.cpp:1595-1655)."""
+    MatchGPULib.cpp:1595-1655).
+
+    Evaluated as ONE windowed resample: the crop commutes with the
+    per-destination-pixel gather, so only the fovea window's pixels are
+    computed (the reference — and round 2 — materialised the full big_h x
+    big_w grid first; at 16MP that is up to ~7x excess work per
+    transition).  Values are identical: the window indices are the same
+    float64 host arithmetic on the shifted destination rows/cols."""
     fov_h, fov_w = disp.shape[-2], disp.shape[-1]
-    up = upsample_to_level(disp, big_h, big_w, cfg)
     left = big_w // 2 - fov_w // 2
     upper = big_h // 2 - fov_h // 2
-    return up[..., upper:upper + fov_h, left:left + fov_w]
+    inv = 1.0 / cfg.scale
+    up = _resample(
+        disp, fov_h, fov_w, lambda t: t * inv, cfg.scale, cfg,
+        lambda: resample_coords(disp, fov_h, fov_w, lambda t: t * inv,
+                                cfg.scale, cfg.interp, upper, left),
+        row_off=upper, col_off=left)
+    if not cfg.scale_conf_on_upsample:
+        conf = _resample(
+            disp[2:3], fov_h, fov_w, lambda t: t * inv, 1.0, cfg,
+            lambda: resample_coords(disp[2:3], fov_h, fov_w,
+                                    lambda t: t * inv, 1.0, cfg.interp,
+                                    upper, left),
+            row_off=upper, col_off=left)
+        up = jnp.concatenate([up[:2], conf], axis=0)
+    return up
 
 
 def hierarchical_disparity(stack: Sequence[jnp.ndarray], cfg: MatcherConfig,
