@@ -29,8 +29,22 @@ import numpy as np
 
 
 def _setup_jax():
+    # BENCH_PLATFORM=cpu forces the CPU backend (with
+    # BENCH_CPU_DEVICES virtual devices, default 8) for mesh-scaling runs on
+    # rigs without a pod slice.  Must happen BEFORE importing jax here: this
+    # rig's sitecustomize pins the platform list, so env vars alone are not
+    # enough — the config.update below is the override that works.
+    platform = os.environ.get("BENCH_PLATFORM")
+    if platform == "cpu":
+        n = int(os.environ.get("BENCH_CPU_DEVICES", 8))
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n}")
     import jax
 
+    if platform:
+        jax.config.update("jax_platforms", platform)
     # Persistent compile cache: the pyramid engine jits one scan per level;
     # cache across processes so re-running the bench skips recompilation.
     cache_dir = os.environ.get("JAX_CACHE_DIR",

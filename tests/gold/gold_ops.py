@@ -124,6 +124,49 @@ def part_upsample_disp(src, out_h, out_w, scale):
     return out
 
 
+def _keys_kernel(d: float, a: float = -0.75) -> float:
+    """Analytic Keys bicubic kernel W(d) — the piecewise-cubic definition,
+    deliberately NOT the Horner-coefficient form the production op uses, so
+    the gold check is an independent derivation.  a = -0.75 is OpenCV's
+    INTER_CUBIC constant."""
+    d = abs(d)
+    if d <= 1.0:
+        return (a + 2) * d ** 3 - (a + 3) * d ** 2 + 1
+    if d < 2.0:
+        return a * d ** 3 - 5 * a * d ** 2 + 8 * a * d - 4 * a
+    return 0.0
+
+
+def tex_cubic(src: np.ndarray, x: float, y: float) -> float:
+    """Bicubic sampling at texel coordinates (x, y), clamp addressing —
+    cv::resize INTER_CUBIC semantics (border-replicated taps)."""
+    h, w = src.shape
+    xf = x - 0.5
+    yf = y - 0.5
+    x0 = int(np.floor(xf))
+    y0 = int(np.floor(yf))
+    s = 0.0
+    for ky in range(-1, 3):
+        wy = _keys_kernel((yf - y0) - ky)
+        for kx in range(-1, 3):
+            wx = _keys_kernel((xf - x0) - kx)
+            s += wy * wx * src[_clamp(y0 + ky, 0, h - 1),
+                               _clamp(x0 + kx, 0, w - 1)]
+    return s
+
+
+def subsample_cubic(src, out_h, out_w, scale):
+    """subsampleKernel coordinates with bicubic filtering — the gold model
+    for the resized-range-map path (getPointCloud.cpp:772, :841 use
+    cv::resize(..., INTER_CUBIC) on the Z map)."""
+    out = np.zeros((out_h, out_w), dtype=np.float32)
+    for iy in range(out_h):
+        for ix in range(out_w):
+            out[iy, ix] = tex_cubic(src, (ix + 0.5) * scale,
+                                    (iy + 0.5) * scale)
+    return out
+
+
 def warp(src, disp_x, disp_y):
     """warpAbyB gold (MatchLib.cu:499-520)."""
     h, w = src.shape

@@ -56,6 +56,43 @@ class TestSyntheticScenes:
         assert r.mean_abs_v < 0.5
 
 
+# Per-scene regression gates over the full A/B table (VERDICT r2 item 7):
+# thresholds are ~1.5-2x the values measured by `python -m
+# ug_stereomatcher_tpu eval` (docs/ACCURACY.md) — a regression on ANY scene
+# kind, in either interp mode, fails CI.
+_GATES = {
+    # interp: {scene: (median_epe_max, bad_1_0_max)}
+    "nearest": {"constant": (0.45, 0.03), "vertical": (0.45, 0.02),
+                "slant": (0.45, 0.02), "sine": (0.45, 0.02)},
+    "bilinear": {"constant": (0.08, 0.03), "vertical": (0.08, 0.02),
+                 "slant": (0.08, 0.02), "sine": (0.08, 0.02)},
+}
+
+
+@pytest.fixture(scope="module")
+def ab_table():
+    # one engine per interp over the full suite; ~60 s on the CPU backend
+    return ev.accuracy_table(height=192, width=256)
+
+
+class TestPerSceneAccuracyGates:
+    @pytest.mark.parametrize("interp", ["nearest", "bilinear"])
+    @pytest.mark.parametrize("scene", ["constant", "vertical", "slant",
+                                       "sine"])
+    def test_scene_gate(self, ab_table, interp, scene):
+        r = ab_table[interp][scene]
+        med_max, bad1_max = _GATES[interp][scene]
+        assert r.median_epe < med_max, (interp, scene, r.as_dict())
+        assert r.bad_1_0 < bad1_max, (interp, scene, r.as_dict())
+
+    def test_bilinear_strictly_better(self, ab_table):
+        # the quality mode must beat parity mode on every scene (the
+        # ACCURACY.md headline claim)
+        for scene in _GATES["nearest"]:
+            assert (ab_table["bilinear"][scene].median_epe
+                    < ab_table["nearest"][scene].median_epe), scene
+
+
 class TestCli:
     def _pair(self, tmp_path):
         left, right, _, _ = ev.synthetic_scene("constant", 64, 96,
@@ -104,6 +141,22 @@ class TestCli:
                                "--sampling", "2")
         assert rc == 0
         assert os.path.getsize(out) > 1000
+
+    def test_eval_command(self):
+        rc, stdout = self._run("eval", "--height", "64", "--width", "96",
+                               "--interp", "nearest")
+        assert rc == 0
+        rows = [json.loads(l) for l in stdout.strip().splitlines()]
+        assert {r["scene"] for r in rows} == {"constant", "vertical",
+                                              "slant", "sine"}
+        assert all(r["interp"] == "nearest" for r in rows)
+
+    def test_eval_markdown(self):
+        rc, stdout = self._run("eval", "--height", "64", "--width", "96",
+                               "--interp", "bilinear", "--markdown")
+        assert rc == 0
+        assert '## interp="bilinear"' in stdout
+        assert "| scene | median EPE (px) |" in stdout
 
     def test_bad_args(self):
         with pytest.raises(SystemExit):

@@ -253,6 +253,23 @@ class TestFoveatedResized:
         np.testing.assert_allclose(cloud.xyz[:, 2],
                                    z_res.reshape(-1), rtol=1e-6)
 
+    def test_resized_cloud_cubic_matches_gold(self):
+        # resize_method="cubic" = INTER_CUBIC parity (getPointCloud.cpp:841):
+        # the resized Z channel must equal the scalar bicubic gold resample
+        # of the range map.
+        from tests.gold.gold_ops import subsample_cubic
+        (rig, cfg, (H, W), (fov_h, fov_w),
+         stack_h, stack_v, img) = self._setup()
+        f = 0.5
+        cloud = geom.foveated_resized_pointcloud(
+            rig, cfg, stack_h, stack_v, img, src_level=0, resize_factor=f,
+            resize_method="cubic")
+        out_h, out_w = int(fov_h * f), int(fov_w * f)
+        rmap = geom.foveated_range_map(rig, cfg, stack_h, stack_v, (H, W))
+        z_gold = subsample_cubic(rmap, out_h, out_w, 1.0 / f)
+        np.testing.assert_allclose(cloud.xyz[:, 2], z_gold.reshape(-1),
+                                   rtol=1e-4, atol=1e-4)
+
     def test_resized_cloud_xy_matches_get3dpoint_gold(self):
         (rig, cfg, (H, W), (fov_h, fov_w),
          stack_h, stack_v, img) = self._setup()

@@ -64,6 +64,42 @@ class TestResample:
         ref = gold.subsample(x, oh, ow, scale)
         np.testing.assert_array_equal(ours, ref)
 
+    @pytest.mark.parametrize("scale,oh,ow", [(5.0, 4, 5), (2.5, 8, 10),
+                                             (0.7, 19, 24)])
+    def test_subsample_cubic_matches_gold(self, scale, oh, ow):
+        # INTER_CUBIC parity for the resized-range-map path: the separable
+        # static-weight op vs the scalar analytic Keys-kernel gold.
+        x = rand_img(20, 25)
+        ours = np.asarray(ops.subsample(jnp.asarray(x), oh, ow, scale,
+                                        method="cubic"))
+        ref = gold.subsample_cubic(x, oh, ow, scale)
+        np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-5)
+
+    def test_tex_gather_cubic_matches_gold(self):
+        # the generic (non-separable) cubic path: random float coordinates
+        rng = np.random.RandomState(3)
+        x = rand_img(14, 18)
+        xs = rng.rand(6, 7).astype(np.float32) * 20 - 1
+        ys = rng.rand(6, 7).astype(np.float32) * 16 - 1
+        ours = np.asarray(ops.tex_gather(jnp.asarray(x), jnp.asarray(xs),
+                                         jnp.asarray(ys), method="cubic"))
+        ref = np.array([[gold.tex_cubic(x, xs[i, j], ys[i, j])
+                         for j in range(7)] for i in range(6)])
+        # weights are computed in f32 on this path (vs the gold's f64)
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+    def test_cubic_interpolates_exactly_on_linear_field(self):
+        # Keys kernels reproduce affine functions exactly: resizing a plane
+        # must return the plane (away from clamped borders).
+        yy, xx = np.mgrid[0:16, 0:20].astype(np.float32)
+        plane = 2.0 * xx + 3.0 * yy + 1.0
+        out = np.asarray(ops.subsample(jnp.asarray(plane), 8, 10, 2.0,
+                                       method="cubic"))
+        yy2, xx2 = np.mgrid[0:8, 0:10].astype(np.float32)
+        expect = 2.0 * ((xx2 + 0.5) * 2 - 0.5) + 3.0 * ((yy2 + 0.5) * 2 - 0.5) + 1.0
+        np.testing.assert_allclose(out[1:-1, 1:-1], expect[1:-1, 1:-1],
+                                   rtol=1e-5)
+
     def test_upsample_disp_matches_gold(self):
         x = rand_img(9, 12)
         ours = np.asarray(

@@ -132,6 +132,26 @@ def cmd_cloud(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """Reproducible accuracy harness: the nearest-vs-bilinear A/B table of
+    docs/ACCURACY.md (synthetic exact-ground-truth scenes; the offline
+    stand-in for the Glasgow 80-pair evaluation, README.md:32-40)."""
+    from ug_stereomatcher_tpu.eval import accuracy_table, format_accuracy_markdown
+    interps = args.interp.split(",") if args.interp else ("nearest",
+                                                          "bilinear")
+    tables = accuracy_table(height=args.height, width=args.width,
+                            interps=interps, seed=args.seed)
+    if args.markdown:
+        print(format_accuracy_markdown(tables))
+        return 0
+    for interp, reports in tables.items():
+        for kind, r in reports.items():
+            print(json.dumps({"interp": interp, "scene": kind,
+                              **{k: round(v, 5) if isinstance(v, float) else v
+                                 for k, v in r.as_dict().items()}}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import os
     os.environ["BENCH_MODE"] = args.mode
@@ -184,6 +204,17 @@ def main(argv=None) -> int:
     p.add_argument("--sampling", type=int, default=1)
     _add_engine_args(p)
     p.set_defaults(fn=cmd_cloud)
+
+    p = sub.add_parser("eval", help="accuracy table on exact-ground-truth "
+                                    "synthetic scenes (docs/ACCURACY.md)")
+    p.add_argument("--height", type=int, default=192)
+    p.add_argument("--width", type=int, default=256)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--interp", default=None,
+                   help="comma-separated interp modes (default both)")
+    p.add_argument("--markdown", action="store_true",
+                   help="emit the ACCURACY.md tables instead of JSON lines")
+    p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("bench", help="run the standard benchmark")
     p.add_argument("--mode", choices=["mode1", "foveated"], default="mode1")

@@ -164,6 +164,48 @@ def evaluate_engine(engine, height: int = 192, width: int = 256,
     return out
 
 
+def accuracy_table(height: int = 192, width: int = 256,
+                   interps: Sequence[str] = ("nearest", "bilinear"),
+                   suite: Sequence[Tuple[str, float]] = DEFAULT_SUITE,
+                   seed: int = 0, margin: int = 16,
+                   ) -> Dict[str, Dict[str, EpeReport]]:
+    """The nearest-vs-bilinear A/B table of docs/ACCURACY.md, reproducibly:
+    one engine per interp mode over the full synthetic suite.  Regenerate the
+    doc with ``python -m ug_stereomatcher_tpu eval --markdown``; the CI gates
+    in tests/test_eval_cli.py enforce per-scene thresholds on exactly these
+    numbers."""
+    from ug_stereomatcher_tpu.config import MatcherConfig
+    from ug_stereomatcher_tpu.engine import StereoEngine
+    out: Dict[str, Dict[str, EpeReport]] = {}
+    for interp in interps:
+        eng = StereoEngine(MatcherConfig(interp=interp))
+        out[interp] = evaluate_engine(eng, height=height, width=width,
+                                      suite=suite, seed=seed, margin=margin)
+    return out
+
+
+_SCENE_LABEL = {
+    "constant": "constant 3px shift", "vertical": "vertical 1px shift",
+    "slant": "slanted ramp 0-4px", "sine": "sinusoidal 2-axis warp",
+}
+
+
+def format_accuracy_markdown(tables: Dict[str, Dict[str, EpeReport]]) -> str:
+    """Render :func:`accuracy_table` output as the ACCURACY.md tables."""
+    lines: List[str] = []
+    for interp, reports in tables.items():
+        lines.append(f"## interp=\"{interp}\"")
+        lines.append("")
+        lines.append("| scene | median EPE (px) | mean EPE | >1px |")
+        lines.append("|---|---|---|---|")
+        for kind, r in reports.items():
+            lines.append(f"| {_SCENE_LABEL.get(kind, kind)} | "
+                         f"{r.median_epe:.3f} | {r.mean_epe:.3f} | "
+                         f"{100 * r.bad_1_0:.1f}% |")
+        lines.append("")
+    return "\n".join(lines)
+
+
 def evaluate_pairs(engine, manifest_path: str, gt_loader: Callable[[int],
                    Tuple[np.ndarray, np.ndarray]],
                    margin: int = 16) -> List[EpeReport]:

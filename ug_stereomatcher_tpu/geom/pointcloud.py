@@ -97,11 +97,16 @@ def foveated_disparity_to_pointcloud(calib, cfg: MatcherConfig,
 
 
 def resized_pointcloud(calib, disp_h, disp_v, left_image,
-                       resize_factor: float = 0.2) -> PointCloud:
+                       resize_factor: float = 0.2,
+                       resize_method: str = "bilinear") -> PointCloud:
     """Resized-range-map reconstruction (doReconstruction_resized,
     getPointCloud.cpp:724-800): compute the Z range map at full resolution,
     resize it, and emit one point per resized pixel with XY from the
-    corresponding full-resolution pixel."""
+    corresponding full-resolution pixel.
+
+    ``resize_method="cubic"`` reproduces the reference's cv::INTER_CUBIC
+    range-map resize (:772); the default stays bilinear (the resized map is
+    a preview product, and cubic can overshoot at depth discontinuities)."""
     P1, P2 = calib.left.P, calib.right.P
     dh = jnp.asarray(disp_h)
     dv = jnp.asarray(disp_v)
@@ -110,7 +115,7 @@ def resized_pointcloud(calib, disp_h, disp_v, left_image,
     _, _, z = triangulate_disparity(P1, P2, dh, dv)
     out_h, out_w = int(h * resize_factor), int(w * resize_factor)
     z_res = np.asarray(subsample(z, out_h, out_w, 1.0 / resize_factor,
-                                 method="bilinear"))
+                                 method=resize_method))
     yy, xx = np.mgrid[0:out_h, 0:out_w]
     sx = (xx / resize_factor).astype(np.int64)
     sy = (yy / resize_factor).astype(np.int64)
@@ -158,7 +163,8 @@ def foveated_range_map(calib, cfg: MatcherConfig, stack_h, stack_v,
 def foveated_resized_pointcloud(calib, cfg: MatcherConfig, stack_h, stack_v,
                                 left_image, src_level: int = 0,
                                 resize_factor: float = 0.2,
-                                map_rgb_coords: bool = False) -> PointCloud:
+                                map_rgb_coords: bool = False,
+                                resize_method: str = "bilinear") -> PointCloud:
     """Foveated resized-range-map reconstruction (doReconstructionFOV_resized,
     getPointCloud.cpp:802-884): compute the fovea-level Z range map via
     :func:`foveated_range_map`, resize it by ``resize_factor``, and emit one
@@ -166,8 +172,9 @@ def foveated_resized_pointcloud(calib, cfg: MatcherConfig, stack_h, stack_v,
     the corresponding fovea pixel (get3DPoint's foveated branch, :892-907),
     Z from the resized range map.
 
-    Parity notes: the reference resizes with cv::INTER_CUBIC (:841); this
-    implementation uses the engine's bilinear resample (same choice as
+    Parity notes: the reference resizes with cv::INTER_CUBIC (:841);
+    ``resize_method="cubic"`` reproduces that (gold-tested vs a scalar
+    bicubic model); the default stays bilinear (same choice as
     :func:`resized_pointcloud` — the resized map is a preview product, not a
     matched quantity).  The reference also samples the point colour from the
     full-resolution left image at the *unmapped* fovea coordinates
@@ -186,7 +193,7 @@ def foveated_resized_pointcloud(calib, cfg: MatcherConfig, stack_h, stack_v,
     out_h = int(fov_h * resize_factor)
     out_w = int(fov_w * resize_factor)
     z_res = np.asarray(subsample(jnp.asarray(rmap), out_h, out_w,
-                                 1.0 / resize_factor, method="bilinear"))
+                                 1.0 / resize_factor, method=resize_method))
 
     # int(ii / resizeFactor) source lookup per resized pixel (:860-861)
     yy, xx = np.mgrid[0:out_h, 0:out_w]

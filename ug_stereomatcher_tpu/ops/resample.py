@@ -66,7 +66,85 @@ def tex_gather(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
         top = v00 * (1 - ax) + v01 * ax
         bot = v10 * (1 - ax) + v11 * ax
         return top * (1 - ay) + bot * ay
+    elif method == "cubic":
+        # 4x4 bicubic (cv::INTER_CUBIC kernel, a = -0.75), clamp addressing.
+        xf = x - 0.5
+        yf = y - 0.5
+        x0 = jnp.floor(xf)
+        y0 = jnp.floor(yf)
+        wxs = _cubic_weights_jnp(xf - x0)
+        wys = _cubic_weights_jnp(yf - y0)
+        out = None
+        for ky in range(4):
+            yi = jnp.clip(y0 + (ky - 1), 0, h - 1).astype(jnp.int32)
+            row = None
+            for kx in range(4):
+                xi = jnp.clip(x0 + (kx - 1), 0, w - 1).astype(jnp.int32)
+                v = wxs[kx] * _gather_hw(img, yi, xi)
+                row = v if row is None else row + v
+            v = wys[ky] * row
+            out = v if out is None else out + v
+        return out
     raise ValueError(f"unknown method {method!r}")
+
+
+_CUBIC_A = -0.75  # OpenCV's bicubic sharpness constant (imgproc resize)
+
+
+def _cubic_weights_np(t: np.ndarray) -> np.ndarray:
+    """Keys' bicubic weights for fractional offsets ``t`` in [0, 1): the 4
+    taps at offsets {-1, 0, +1, +2} from floor(coord).  Uses the a=-0.75
+    kernel family of cv::INTER_CUBIC (getPointCloud.cpp:841 resizes the
+    range maps with it).  Partition of unity holds analytically; weights are
+    computed in float64 at trace time and cast once."""
+    a = _CUBIC_A
+    t = np.asarray(t, dtype=np.float64)
+    w0 = ((a * (t + 1) - 5 * a) * (t + 1) + 8 * a) * (t + 1) - 4 * a
+    w1 = ((a + 2) * t - (a + 3)) * t * t + 1
+    u = 1 - t
+    w2 = ((a + 2) * u - (a + 3)) * u * u + 1
+    w3 = 1.0 - w0 - w1 - w2
+    return np.stack([w0, w1, w2, w3], axis=0)
+
+
+def _cubic_weights_jnp(t: jnp.ndarray):
+    a = _CUBIC_A
+    w0 = ((a * (t + 1) - 5 * a) * (t + 1) + 8 * a) * (t + 1) - 4 * a
+    w1 = ((a + 2) * t - (a + 3)) * t * t + 1
+    u = 1 - t
+    w2 = ((a + 2) * u - (a + 3)) * u * u + 1
+    w3 = 1.0 - w0 - w1 - w2
+    return (w0, w1, w2, w3)
+
+
+def _separable_cubic(img: jnp.ndarray, out_h: int, out_w: int,
+                     coord_of, row_off: int = 0,
+                     col_off: int = 0) -> jnp.ndarray:
+    """Axis-separable bicubic resample with static indices AND weights.
+
+    Like :func:`_separable_nearest`, resize coordinates depend only on the
+    destination axis, so bicubic factors into two per-axis 4-tap weighted
+    takes whose indices and weights are trace-time constants — XLA sees
+    8 takes + fused FMAs, no per-element gather.  Tap indices clamp to the
+    edge (cv::resize border replication)."""
+    h, w = img.shape[-2], img.shape[-1]
+
+    def axis_taps(n_out, n_src, off):
+        c = np.asarray(coord_of(np.arange(n_out) + off + 0.5),
+                       dtype=np.float64) - 0.5
+        i0 = np.floor(c)
+        frac = c - i0
+        wts = _cubic_weights_np(frac)            # (4, n_out)
+        idx = np.stack([np.clip(i0 + k, 0, n_src - 1)
+                        for k in (-1, 0, 1, 2)], axis=0).astype(np.int32)
+        return idx, wts.astype(np.float32)
+
+    ry, wy = axis_taps(out_h, h, row_off)
+    rx, wx = axis_taps(out_w, w, col_off)
+    rows = sum(wy[k][:, None] * jnp.take(img, jnp.asarray(ry[k]), axis=-2)
+               for k in range(4))
+    return sum(wx[k][None, :] * jnp.take(rows, jnp.asarray(rx[k]), axis=-1)
+               for k in range(4))
 
 
 def _dest_coords(out_h: int, out_w: int, dtype=jnp.float32,
@@ -112,6 +190,8 @@ def resample_coords(img: jnp.ndarray, out_h: int, out_w: int, coord_of,
     if method == "nearest":
         out = _separable_nearest(img, out_h, out_w, coord_of, row_off,
                                  col_off)
+    elif method == "cubic":
+        out = _separable_cubic(img, out_h, out_w, coord_of, row_off, col_off)
     else:
         xs, ys = _dest_coords(out_h, out_w, img.dtype, row_off, col_off)
         out = tex_gather(img, coord_of(xs), coord_of(ys), method)
@@ -123,9 +203,13 @@ def subsample(img: jnp.ndarray, out_h: int, out_w: int, scale: float,
     """Resample to (out_h, out_w): dst(x,y) = src(x*scale, y*scale).
 
     Subsumes subsampleKernel (MatchLib.cu:311-367) — used with scale = SCALE
-    (level 0 -> 1) and scale = 2.0 (level i -> i+2) during pyramid build."""
+    (level 0 -> 1) and scale = 2.0 (level i -> i+2) during pyramid build.
+    ``method="cubic"`` adds cv::INTER_CUBIC semantics (used by the resized
+    range-map reconstructions, getPointCloud.cpp:772, :841)."""
     if method == "nearest":
         return _separable_nearest(img, out_h, out_w, lambda t: t * scale)
+    if method == "cubic":
+        return _separable_cubic(img, out_h, out_w, lambda t: t * scale)
     xs, ys = _dest_coords(out_h, out_w, img.dtype)
     return tex_gather(img, xs * scale, ys * scale, method)
 
