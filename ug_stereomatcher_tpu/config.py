@@ -175,15 +175,12 @@ class MatcherConfig:
     #   path — exercises the real wiring incl. the overflow fallback);
     # "xla": off.
     level_backend: str = "auto"
-    # Coarse-tail program (ops/pallas/level.tail_resident_match): chain
-    # several coarse levels AND their inter-level upsamples in ONE Pallas
-    # call.  Measured perf-neutral at 16MP on the dev chip (the level
-    # kernels + MXU upsamples it absorbs are already near the dispatch
-    # floor) and its foveated-graph compile could not be validated on the
-    # dev rig before its TPU relay went down — so it defaults OFF;
-    # results are covered by the same overflow-fallback exactness
-    # contract as the single-level kernel when enabled.
-    level_tail: bool = False
+    # (A coarse-tail kernel chaining several levels + their upsamples in
+    # ONE Pallas program was built and measured in rounds 2-3: perf-neutral
+    # at 16MP and ~8% SLOWER on the foveated graph — the per-level kernels
+    # + MXU upsamples already sit at the dispatch floor, and the chained
+    # program serialises what the per-level grid pipelines.  Deleted; see
+    # git history for ops/pallas/level.tail_resident_match.)
 
     def warp_window_for_level(self, level_index: int) -> Tuple[int, int]:
         """(max_dy, max_dx) for a pyramid level, with floors that keep the

@@ -275,93 +275,6 @@ def _match_level_scan(left, right, disp, level_index, cfg: MatcherConfig,
 
 
 
-TAIL_VMEM_BUDGET = 11 * 2 ** 20   # tighter than the single-level budget:
-# a compile-time Mosaic VMEM OOM in the tail kernel is a hard failure,
-# not a fallback, so leave extra headroom for its estimate error.
-
-
-def _tail_span(cfg: MatcherConfig, dims, n: int, foveated: bool,
-               channels: int):
-    """Longest coarsest-suffix of levels to run in ONE tail-resident
-    kernel (ops/pallas/level.tail_resident_match), or None.  Levels
-    coarsest-first.  In foveated mode the tail stops before the
-    fovea-crop transition (its upsample is the centred-crop variant,
-    which stays outside the kernel)."""
-    if not cfg.level_tail:
-        return None
-    if cfg.level_backend == "xla" or channels != 3 or n < 2:
-        return None
-    if cfg.dtype != "float32":
-        return None   # Pallas kernels are f32-only
-    forced = cfg.level_backend in ("pallas", "interpret")
-    if not forced:
-        if cfg.level_backend != "auto":
-            raise ValueError(f"unknown level_backend {cfg.level_backend!r}")
-        if cfg.warp_backend == "xla" or jax.default_backend() in ("cpu",):
-            return None
-    from ug_stereomatcher_tpu.ops.pallas.level import (
-        tail_resident_vmem_bytes)
-    span = []
-    for i in range(n - 1, -1, -1):
-        if foveated and i < cfg.fovea_level - 1:
-            break
-        cand = span + [i]
-        if not forced:
-            dys = [cfg.warp_window_for_level(ii)[0] for ii in cand]
-            dd = [dims[ii] for ii in cand]
-            if tail_resident_vmem_bytes(dd, dys) > TAIL_VMEM_BUDGET:
-                break
-        span = cand
-    return span if len(span) >= 2 else None
-
-
-def _tail_match(left_levels, right_levels, span, disp, cfg: MatcherConfig,
-                dims):
-    """Run the span's levels in the tail kernel, with the same
-    exactness contract as match_level: if any level's field exceeded its
-    warp window's reach, recompute the whole tail on the exact path."""
-    from ug_stereomatcher_tpu.ops.pallas.level import tail_resident_match
-    metas = tuple(
-        (dims[i][0], dims[i][1], cfg.iters_for_level(i),
-         cfg.smooth_passes_for_level(i)) + cfg.warp_window_for_level(i)
-        for i in span)
-    max_mi = max(m[2] for m in metas)
-    thr = np.zeros((len(span), max_mi), np.float32)
-    for k, i in enumerate(span):
-        sch = cfg.threshold_schedule(cfg.iters_for_level(i))
-        thr[k, :len(sch)] = sch
-    states, ovf = tail_resident_match(
-        tuple(left_levels[i] for i in span),
-        tuple(right_levels[i] for i in span),
-        disp, jnp.asarray(thr), level_meta=metas,
-        consts=(cfg.conf_no_peak, cfg.conf_affine_scale,
-                cfg.conf_affine_bias, cfg.conf_blend_new,
-                cfg.conf_blend_old),
-        method=cfg.interp, scale=cfg.scale,
-        scale_conf=cfg.scale_conf_on_upsample,
-        interpret=(cfg.level_backend == "interpret"))
-    if not cfg.warp_overflow_guard:
-        return states
-
-    def exact():
-        out = []
-        d = disp
-        for k, i in enumerate(span):
-            mi = cfg.iters_for_level(i)
-            ns = cfg.smooth_passes_for_level(i)
-            ths = jnp.asarray(cfg.threshold_schedule(mi), dtype=d.dtype)
-            d = _match_level_scan(left_levels[i], right_levels[i], d, i,
-                                  cfg, is_coarsest=(k == 0), mi=mi,
-                                  n_smooth=ns, thresholds=ths)
-            out.append(d)
-            if k + 1 < len(span):
-                h2, w2 = dims[span[k + 1]]
-                d = pyr.upsample_to_level(d, h2, w2, cfg)
-        return tuple(out)
-
-    return jax.lax.cond(jnp.max(ovf) > 0.0, exact, lambda: states)
-
-
 class PyramidMatchResult(NamedTuple):
     """Per-level disparity triplets, index 0 = finest level processed."""
     levels: Tuple[jnp.ndarray, ...]
@@ -405,28 +318,10 @@ def match_pyramid(left_levels: Sequence[jnp.ndarray],
     h, w = dims[n - 1]
     disp = jnp.zeros((3, h, w), dtype=left_levels[0].dtype)
 
-    # Coarse tail: levels that fit run in ONE Pallas program, including
-    # their inter-level upsamples (the TPU analog of matchlevel's
-    # device-resident loop over the whole coarse stack).
-    span = _tail_span(cfg, dims, n, foveated, left_levels[0].shape[0])
-    tail_set = set(span or [])
-    if span:
-        tail_states = _tail_match(left_levels, right_levels, span, disp,
-                                  cfg, dims)
-        for k, ii in enumerate(span):
-            results[ii] = tail_states[k]
-        disp = tail_states[-1]
-
     for i in range(n - 1, -1, -1):
-        if i in tail_set:
-            if i != span[-1]:
-                continue  # matched + upsampled inside the tail kernel
-            # i == span[-1]: disp already holds this level's result; only
-            # the outgoing upsample below remains.
-        else:
-            disp = match_level(left_levels[i], right_levels[i], disp, i,
-                               cfg, is_coarsest=(i == n - 1))
-            results[i] = disp
+        disp = match_level(left_levels[i], right_levels[i], disp, i,
+                           cfg, is_coarsest=(i == n - 1))
+        results[i] = disp
         if i > 0:
             if (not foveated) or i >= cfg.fovea_level:
                 h2, w2 = dims[i - 1]

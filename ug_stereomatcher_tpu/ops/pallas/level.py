@@ -94,10 +94,8 @@ def _make_level_runner(leftp_ref, rightp_ref, thr_at, *, H, W, Hp, Wp,
     """Build the whole-level iteration loop over VMEM-resident refs.
 
     Returns ``run(state3) -> ((dh, dv, conf), ovf)`` where state3 is the
-    padded (Hp, Wp) plane triple.  Shared by the single-level kernel and
-    the coarse-tail kernel (which chains several levels, upsampling
-    between them, inside ONE Pallas program).  ``thr_at(m)`` yields the
-    iteration-m clamp threshold."""
+    padded (Hp, Wp) plane triple.  ``thr_at(m)`` yields the iteration-m
+    clamp threshold."""
     n_cblk = Wp // LANES
     sweep = sweep_bilinear if bilinear else sweep_nearest
 
@@ -369,195 +367,3 @@ def level_resident_match(left: jnp.ndarray, right: jnp.ndarray,
         interpret=interpret,
     )(leftp, rightp, dispp, thr)
     return state[:, :H, :W], ovf[0, 0]
-
-
-# ---------------------------------------------------------------------
-# Coarse-tail kernel: several consecutive levels + their upsamples in
-# ONE Pallas program
-# ---------------------------------------------------------------------
-
-def tail_resident_vmem_bytes(dims, max_dys) -> int:
-    """VMEM estimate for a tail of levels (coarsest LAST in ``dims``?
-    No — coarsest FIRST, matching execution order).  Peak liveness is the
-    finest (= largest, last) level's working set, plus every level's
-    image/output refs which stay resident for the whole program."""
-    total = 0
-    for (h, w), dy in zip(dims, max_dys):
-        Hp = _ceil_to(h, 8)
-        Wp = _ceil_to(w, LANES)
-        plane = Hp * Wp * 4
-        vh = warp_halo_rows(dy)
-        total += 9 * plane + 3 * (2 * vh + BAND) * Wp * 4
-    hf, wf = dims[-1]
-    total += 19 * _ceil_to(hf, 8) * _ceil_to(wf, LANES) * 4
-    return total
-
-
-def _tail_kernel(*refs, L, Hs, Ws, Hps, Wps, VHs, HBLKs, mis, n_smooths,
-                 g_taps, a_tap, consts, bilinear, v_reaches, h_reaches,
-                 vscale, scale_conf):
-    """refs layout: [left_0, right_0, ..., left_{L-1}, right_{L-1},
-    disp0, thr(L, max_mi), iy_0, ix_0, wy_0, wx_0, ..., (L-1 quads),
-    out_0..out_{L-1}, ovf(1, L)] — level 0 is the COARSEST."""
-    lr = refs[:2 * L]
-    disp_ref = refs[2 * L]
-    thr_ref = refs[2 * L + 1]
-    upq = refs[2 * L + 2: 2 * L + 2 + 4 * (L - 1)]
-    outs = refs[2 * L + 2 + 4 * (L - 1): 3 * L + 2 + 4 * (L - 1)]
-    ovf_ref = refs[3 * L + 2 + 4 * (L - 1)]
-
-    state = (disp_ref[0], disp_ref[1], disp_ref[2])
-    for l in range(L):
-        run = _make_level_runner(
-            lr[2 * l], lr[2 * l + 1], lambda m, l=l: thr_ref[l, m],
-            H=Hs[l], W=Ws[l], Hp=Hps[l], Wp=Wps[l], VH=VHs[l],
-            HBLK=HBLKs[l], mi=mis[l], n_smooth=n_smooths[l],
-            replace_first=(l == 0), g_taps=g_taps, a_tap=a_tap,
-            consts=consts, bilinear=bilinear, v_reach=v_reaches[l],
-            h_reach=h_reaches[l])
-        state, ovf = run(state)
-        outs[l][0, :, :] = state[0]
-        outs[l][1, :, :] = state[1]
-        outs[l][2, :, :] = state[2]
-        ovf_ref[0, l] = ovf
-
-        if l + 1 < L:
-            # Disparity upsample to the next finer level as one-hot /
-            # two-hot MXU matmuls (exact vs the XLA takes for nearest —
-            # Precision.HIGHEST reconstructs f32 data bit-exactly against
-            # selection weights; see ops/pallas/resample.py).
-            iy_ref, ix_ref, wy_ref, wx_ref = upq[4 * l: 4 * l + 4]
-            Hpn, Wpn = Hps[l + 1], Wps[l + 1]
-            kr = jax.lax.broadcasted_iota(jnp.int32, (Hpn, Hps[l]), 1)
-            kc = jax.lax.broadcasted_iota(jnp.int32, (Wps[l], Wpn), 0)
-            if bilinear:
-                wy = wy_ref[...]
-                wx = wx_ref[...]
-                R = ((kr == iy_ref[...]).astype(jnp.float32) * (1.0 - wy)
-                     + (kr == iy_ref[...] + 1).astype(jnp.float32) * wy)
-                Cm = ((kc == ix_ref[...]).astype(jnp.float32) * (1.0 - wx)
-                      + (kc == ix_ref[...] + 1).astype(jnp.float32) * wx)
-            else:
-                R = (kr == iy_ref[...]).astype(jnp.float32)
-                Cm = (kc == ix_ref[...]).astype(jnp.float32)
-
-            def up(x):
-                r = jnp.dot(R, x, precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32)
-                return jnp.dot(r, Cm, precision=jax.lax.Precision.HIGHEST,
-                               preferred_element_type=jnp.float32)
-
-            state = (vscale * up(state[0]), vscale * up(state[1]),
-                     (vscale * up(state[2])) if scale_conf
-                     else up(state[2]))
-
-
-@functools.partial(jax.jit, static_argnames=(
-    "level_meta", "replace_first_unused", "consts", "method", "scale",
-    "scale_conf", "interpret"))
-def tail_resident_match(lefts, rights, disp0, thresholds, *,
-                        level_meta, consts=(0.4, 0.3, 0.7, 0.75, 0.25),
-                        method: str = "nearest", scale: float = 1.41421356,
-                        scale_conf: bool = True,
-                        replace_first_unused: bool = True,
-                        interpret: bool = False):
-    """Run several consecutive coarse levels — warp, correlation,
-    smoothing for all iterations of EACH level, plus the inter-level
-    disparity upsamples — in one Pallas program (the whole tail of
-    matchlevel calls, MatchGPULib.cpp:1252-1293, device-resident).
-
-    lefts/rights: tuples of (3, H_l, W_l) level images, COARSEST first.
-    disp0: (3, H_0, W_0) initial state at the coarsest level (zeros at
-    the pyramid top).  thresholds: (L, max_mi) per-level clamp schedules.
-    level_meta: tuple of (H, W, mi, n_smooth, max_dy, max_dx) per level.
-    The first level replaces confidence on its first iteration (the
-    pyramid-top rule).  Returns (tuple of L (3, H_l, W_l) states,
-    ovf (L,) floats — per-level overflow flags; any nonzero means the
-    caller must recompute the tail on the exact XLA path)."""
-    L = len(level_meta)
-    Hs = tuple(m[0] for m in level_meta)
-    Ws = tuple(m[1] for m in level_meta)
-    mis = tuple(m[2] for m in level_meta)
-    n_smooths = tuple(m[3] for m in level_meta)
-    dys = tuple(m[4] for m in level_meta)
-    dxs = tuple(m[5] for m in level_meta)
-    Hps = tuple(_ceil_to(h, 8) for h in Hs)
-    Wps = tuple(_ceil_to(w, LANES) for w in Ws)
-    VHs = tuple(warp_halo_rows(dy) for dy in dys)
-    HBLKs = tuple(max(1, -(-int(dx) // LANES)) for dx in dxs)
-    reaches = [window_reach(dy, dx) for dy, dx in zip(dys, dxs)]
-    v_reaches = tuple(r[0] for r in reaches)
-    h_reaches = tuple(r[1] for r in reaches)
-
-    if method not in ("nearest", "bilinear"):
-        raise ValueError(f"unknown warp method {method!r}")
-    bilinear = method == "bilinear"
-
-    ins = []
-    for l in range(L):
-        ins.append(jnp.pad(lefts[l], ((0, 0), (0, Hps[l] - Hs[l]),
-                                      (0, Wps[l] - Ws[l])), mode="edge"))
-        ins.append(jnp.pad(rights[l],
-                           ((0, 0), (VHs[l], VHs[l] + BAND + Hps[l] - Hs[l]),
-                            (0, Wps[l] - Ws[l])), mode="edge"))
-    ins.append(jnp.pad(disp0, ((0, 0), (0, Hps[0] - Hs[0]),
-                               (0, Wps[0] - Ws[0])), mode="edge"))
-    ins.append(jnp.asarray(thresholds, jnp.float32))
-
-    # per-transition upsample index/weight vectors (trace-time, float64
-    # coords — identical to ops/resample._separable_nearest / the
-    # bilinear taps of ops/pallas/resample.py)
-    from ug_stereomatcher_tpu.ops.pallas.resample import (
-        _bilinear_taps, _nearest_indices)
-    inv = 1.0 / scale
-    for l in range(L - 1):
-        h2, w2 = Hs[l + 1], Ws[l + 1]
-        if bilinear:
-            iy, wy = _bilinear_taps(h2, Hs[l], lambda t: t * inv)
-            ix, wx = _bilinear_taps(w2, Ws[l], lambda t: t * inv)
-        else:
-            iy = _nearest_indices(h2, Hs[l], lambda t: t * inv)
-            ix = _nearest_indices(w2, Ws[l], lambda t: t * inv)
-            wy = np.zeros(h2, np.float32)
-            wx = np.zeros(w2, np.float32)
-        # pad index AND weight vectors with their last entries: pad
-        # rows/cols then reproduce the last valid row/col exactly, which
-        # is the clamp invariant the next level's runner relies on (a
-        # zero pad weight would break it in bilinear mode)
-        iyp = np.concatenate([iy, np.full(Hps[l + 1] - h2, iy[-1],
-                                          np.int32)])
-        ixp = np.concatenate([ix, np.full(Wps[l + 1] - w2, ix[-1],
-                                          np.int32)])
-        wyp = np.concatenate([wy, np.full(Hps[l + 1] - h2, wy[-1],
-                                          np.float32)])
-        wxp = np.concatenate([wx, np.full(Wps[l + 1] - w2, wx[-1],
-                                          np.float32)])
-        ins.append(jnp.asarray(iyp.reshape(-1, 1)))
-        ins.append(jnp.asarray(ixp.reshape(1, -1)))
-        ins.append(jnp.asarray(wyp.reshape(-1, 1)))
-        ins.append(jnp.asarray(wxp.reshape(1, -1)))
-
-    k = gaussian_kernel()
-    g_taps = (float(k[0]), float(k[1]), float(k[2]))
-    a_tap = float(average_kernel()[1])
-    kernel = functools.partial(
-        _tail_kernel, L=L, Hs=Hs, Ws=Ws, Hps=Hps, Wps=Wps, VHs=VHs,
-        HBLKs=HBLKs, mis=mis, n_smooths=n_smooths, g_taps=g_taps,
-        a_tap=a_tap, consts=consts, bilinear=bilinear,
-        v_reaches=v_reaches, h_reaches=h_reaches, vscale=float(scale),
-        scale_conf=bool(scale_conf))
-
-    outs = pl.pallas_call(
-        kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * L + 1)
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (4 * (L - 1)),
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * L
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_shape=[jax.ShapeDtypeStruct((3, Hps[l], Wps[l]), jnp.float32)
-                   for l in range(L)]
-        + [jax.ShapeDtypeStruct((1, L), jnp.float32)],
-        interpret=interpret,
-    )(*ins)
-    states = tuple(outs[l][:, :Hs[l], :Ws[l]] for l in range(L))
-    return states, outs[L][0]
