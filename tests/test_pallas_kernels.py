@@ -190,6 +190,154 @@ class TestWarpOverflowGuard:
             np.testing.assert_array_equal(out, ref)
 
 
+class TestDynamicWarp:
+    """Dynamic-window warp (warp_windowed_dyn + plan_dyn_warp): exact vs
+    the unbounded XLA gather for ANY absolute offset whenever the plan's
+    ok flag is True; ok=False routes callers to the exact gather.  The
+    window follows the live field, so the static path's absolute-reach
+    limits (warp_max_dy/dx) don't apply — only per-tile spread."""
+
+    def _field(self, h, w, amp_v, amp_h, bias_h=0.0, bias_v=0.0):
+        yy = np.linspace(0, 1, h)[:, None]
+        xx = np.linspace(0, 1, w)[None, :]
+        dh = (bias_h + amp_h * np.sin(2 * np.pi * yy)
+              * np.cos(2 * np.pi * xx)).astype(np.float32)
+        dv = (bias_v + amp_v * np.cos(2 * np.pi * xx)
+              + 0.0 * yy).astype(np.float32)
+        return jnp.asarray(dh), jnp.asarray(dv)
+
+    # NB edge-clamp compression: a vertical bias near the image height
+    # makes iy clip to H-1 across whole tiles, stretching the per-tile k
+    # spread past capacity — the planner must then say ok=False (covered
+    # by the overflow tests below).  These biases keep spreads in budget
+    # while exceeding the static window's absolute reach by far.
+    @pytest.mark.parametrize("method", ["nearest", "bilinear"])
+    @pytest.mark.parametrize("bias_h,bias_v", [(0.0, 0.0), (700.0, 30.0),
+                                               (-650.0, -25.0)])
+    def test_exact_any_absolute_offset(self, method, bias_h, bias_v):
+        from ug_stereomatcher_tpu.ops.pallas.warp import (
+            plan_dyn_warp, warp_windowed_dyn)
+        h, w = 100, 300
+        img = jnp.asarray(RNG.rand(3, h, w).astype(np.float32))
+        dh, dv = self._field(h, w, 3.0, 10.0, bias_h, bias_v)
+        voffs, ok = plan_dyn_warp(dh, dv, H=h, W=w, method=method)
+        assert bool(ok)
+        out = np.asarray(warp_windowed_dyn(img, dh, dv, voffs,
+                                           interpret=True, method=method))
+        ref = np.asarray(ops.warp_by_disparity(img, dh, dv, method))
+        if method == "nearest":
+            np.testing.assert_array_equal(out, ref)
+        else:
+            np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+    @staticmethod
+    def _two_sided_dv(h, w, amp):
+        """±amp in one 64-row tile, rows chosen so no gather row clips
+        (clipping compresses k spans and would legitimately re-enable the
+        dyn window — the planner is span-exact, so overflow scenes must
+        have real unclipped spans)."""
+        dv = np.zeros((h, w), np.float32)
+        dv[64:96] = amp
+        dv[96:128] = -amp
+        return jnp.asarray(dv)
+
+    def test_vertical_spread_overflow_flags(self):
+        from ug_stereomatcher_tpu.ops.pallas.warp import plan_dyn_warp
+        h, w = 256, 300
+        dv = self._two_sided_dv(h, w, 80.0)   # tile-1 span 160 > budget
+        dh = jnp.zeros((h, w), jnp.float32)
+        _, ok = plan_dyn_warp(dh, dv, H=h, W=w)
+        assert not bool(ok)
+
+    def test_horizontal_spread_overflow_flags(self):
+        from ug_stereomatcher_tpu.ops.pallas.warp import plan_dyn_warp
+        h, w = 64, 1024
+        xx = np.linspace(0, 1, w)[None, :]
+        dh = jnp.asarray((500.0 * np.sin(40 * np.pi * xx)
+                          + np.zeros((h, 1))).astype(np.float32))
+        dv = jnp.zeros((h, w), jnp.float32)
+        _, ok = plan_dyn_warp(dh, dv, H=h, W=w)
+        assert not bool(ok)
+
+    def test_both_tiers_exceeded_falls_back_to_gather_exact(self):
+        """A field beyond BOTH the dyn spread budget and the static
+        absolute window must still come out exact (innermost tier: the
+        unbounded XLA gather)."""
+        from ug_stereomatcher_tpu.config import MatcherConfig
+        from ug_stereomatcher_tpu.ops.pallas.warp import (plan_dyn_warp,
+                                                          window_reach)
+        h, w = 512, 300
+        img = jnp.asarray(RNG.rand(3, h, w).astype(np.float32))
+        dv = self._two_sided_dv(h, w, 200.0)
+        dh = jnp.zeros((h, w), jnp.float32)
+        cfg = MatcherConfig()
+        assert cfg.warp_dynamic
+        _, ok = plan_dyn_warp(dh, dv, H=h, W=w)
+        v_reach, _ = window_reach(*cfg.warp_window_for_level(0))
+        assert not bool(ok) and float(jnp.max(jnp.abs(dv))) > v_reach
+        out = np.asarray(match_mod.warp_for_level(img, dh, dv, cfg, 0,
+                                                  interpret=True))
+        ref = np.asarray(ops.warp_by_disparity(img, dh, dv))
+        np.testing.assert_array_equal(out, ref)
+
+    def test_tiered_fallback_dyn_to_static_windowed(self):
+        """A field whose per-tile SPREAD exceeds dyn capacity but whose
+        ABSOLUTE offsets fit the static window must still be exact (tier
+        down to the static windowed kernel, not the slow gather — and
+        either way, bit-equal to the gather)."""
+        from ug_stereomatcher_tpu.config import MatcherConfig
+        from ug_stereomatcher_tpu.ops.pallas.warp import (plan_dyn_warp,
+                                                          window_reach)
+        h, w = 256, 256
+        img = jnp.asarray(RNG.rand(3, h, w).astype(np.float32))
+        dv = self._two_sided_dv(h, w, 80.0)
+        dh = jnp.zeros((h, w), jnp.float32)
+        cfg = MatcherConfig()
+        # per-tile spread 160 > the dyn budget...
+        _, ok = plan_dyn_warp(dh, dv, H=h, W=w, method="nearest")
+        assert not bool(ok)
+        # ...but max|dv| = 80 fits the level-0 static window
+        v_reach, _ = window_reach(*cfg.warp_window_for_level(0))
+        assert float(jnp.max(jnp.abs(dv))) <= v_reach
+        out = np.asarray(match_mod.warp_for_level(img, dh, dv, cfg, 0,
+                                                  interpret=True))
+        ref = np.asarray(ops.warp_by_disparity(img, dh, dv))
+        np.testing.assert_array_equal(out, ref)
+
+    def test_warp_dynamic_off_keeps_static_window_path(self):
+        """warp_dynamic=False preserves the static windowed kernel and its
+        absolute-reach guard semantics."""
+        from ug_stereomatcher_tpu.config import MatcherConfig
+        h, w = 64, 384
+        img = jnp.asarray(RNG.rand(3, h, w).astype(np.float32))
+        dh, dv = self._field(h, w, 2.0, 8.0)
+        cfg = MatcherConfig(warp_dynamic=False)
+        out = np.asarray(match_mod.warp_for_level(img, dh, dv, cfg, 0,
+                                                  interpret=True))
+        ref = np.asarray(ops.warp_by_disparity(img, dh, dv))
+        np.testing.assert_array_equal(out, ref)
+
+    def test_tile_capacity_is_per_tile_not_global(self):
+        """Two distant tiles with very different absolute offsets but small
+        local spreads must both be exact (the static window could not
+        resolve both without a huge VH)."""
+        from ug_stereomatcher_tpu.ops.pallas.warp import (
+            plan_dyn_warp, warp_windowed_dyn)
+        h, w = 128, 256
+        img = jnp.asarray(RNG.rand(h, w).astype(np.float32))
+        dv_np = np.zeros((h, w), np.float32)
+        dv_np[:64] = 60.0    # top tile gathers far below
+        dv_np[64:] = -60.0   # bottom tile gathers far above
+        dv = jnp.asarray(dv_np)
+        dh = jnp.zeros((h, w), jnp.float32)
+        voffs, ok = plan_dyn_warp(dh, dv, H=h, W=w)
+        assert bool(ok)
+        out = np.asarray(warp_windowed_dyn(img, dh, dv, voffs,
+                                           interpret=True))
+        ref = np.asarray(ops.warp_by_disparity(img, dh, dv))
+        np.testing.assert_array_equal(out, ref)
+
+
 class TestSmoothKernel:
     @pytest.mark.parametrize("n", [1, 5])
     def test_matches_xla_chain(self, n):

@@ -155,6 +155,16 @@ class MatcherConfig:
     # exact for out-of-window scenes — warpAbyB's gather is unbounded,
     # MatchLib.cu:499-549).  Disable only to pin the windowed kernel.
     warp_overflow_guard: bool = True
+    # Dynamic windows (ops/pallas/warp.warp_windowed_dyn): position each
+    # row tile's source window on the live field (planned by the same
+    # full-plane pass the static guard already spends), double-buffering
+    # the now-small slabs.  Removes the static path's serial slab-DMA
+    # stall AND its absolute-reach limits (warp_max_dy/dx become
+    # irrelevant; only the per-tile field SPREAD is capacity-bounded,
+    # with the planner falling back to the exact gather beyond it).
+    # Requires warp_overflow_guard (the fallback is the safety contract);
+    # disable to pin the static fixed-window kernel.
+    warp_dynamic: bool = True
 
     # Fused-stencil size gate: minimum level pixel count for the fused
     # Pallas stencils (direction/smooth/blur) on TPU backends.  Below it

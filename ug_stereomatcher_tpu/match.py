@@ -100,22 +100,48 @@ def warp_for_level(right, disp_h, disp_v, cfg: MatcherConfig,
     XLA gather whenever any offset would clamp, so the auto path is exact
     for *all* scenes and fast for in-window ones."""
     from ug_stereomatcher_tpu.ops.pallas.warp import (
-        warp_windowed, window_reach)
+        DYN_VMEM_BUDGET, dyn_vmem_bytes, plan_dyn_warp, warp_windowed,
+        warp_windowed_dyn, window_reach)
     dy, dx = cfg.warp_window_for_level(level_index)
+    H, W = disp_h.shape[-2:]
 
     def windowed():
         return warp_windowed(right, disp_h, disp_v,
                              max_dy=dy, max_dx=dx,
                              interpret=interpret, method=cfg.interp)
 
+    def static_guarded():
+        """Static windowed kernel behind its absolute-reach guard (the
+        round-1/2 contract: exact in-window, exact gather beyond)."""
+        v_reach, h_reach = window_reach(dy, dx)
+        safe = ((jnp.max(jnp.abs(disp_v)) <= v_reach)
+                & (jnp.max(jnp.abs(disp_h)) <= h_reach))
+        return jax.lax.cond(
+            safe, windowed,
+            lambda: warp_by_disparity(right, disp_h, disp_v, cfg.interp))
+
+    if (cfg.warp_dynamic and cfg.warp_overflow_guard
+            and dyn_vmem_bytes(W) <= DYN_VMEM_BUDGET):
+        # Dynamic windows: the planning pass replaces the static guard's
+        # reductions (same full-plane traversal), the window follows the
+        # field (no absolute-reach limit), and the small slabs pipeline
+        # behind the sweeps.  TIERED fallback: a field whose per-tile
+        # spread exceeds capacity (a few outlier-dense tiles on
+        # free-running scenes) tiers down to the static windowed kernel,
+        # which bounds ABSOLUTE offsets instead — only a field beyond
+        # both contracts pays for the exact unbounded gather.
+        voffs, ok = plan_dyn_warp(disp_h, disp_v, H=H, W=W,
+                                  method=cfg.interp)
+        return jax.lax.cond(
+            ok,
+            lambda: warp_windowed_dyn(right, disp_h, disp_v, voffs,
+                                      interpret=interpret,
+                                      method=cfg.interp),
+            static_guarded)
+
     if not cfg.warp_overflow_guard:
         return windowed()
-    v_reach, h_reach = window_reach(dy, dx)
-    safe = ((jnp.max(jnp.abs(disp_v)) <= v_reach)
-            & (jnp.max(jnp.abs(disp_h)) <= h_reach))
-    return jax.lax.cond(
-        safe, windowed,
-        lambda: warp_by_disparity(right, disp_h, disp_v, cfg.interp))
+    return static_guarded()
 
 
 def _warp(right, disp_h, disp_v, cfg: MatcherConfig, level_index: int):

@@ -153,12 +153,20 @@ def _direction_kernel(left_ref, warped_ref, bl2_ref, disp_ref, thr_ref,
         # shifted denominator read matches clamp addressing exactly.
         bw2 = [reclamp(blur(wbuf[c] * wbuf[c])) for c in range(3)]
 
+        def zero_mask(x):
+            # zero-pad boundary: `inside` is 1.0 everywhere on interior
+            # tiles, so the 15 per-iteration mask multiplies only run on
+            # tiles that actually touch the image edge (x*1.0 is an exact
+            # identity — skipping it is bit-identical)
+            return jax.lax.cond(touches_edge, lambda: x * inside,
+                                lambda: x)
+
         dirs = []
         for (dx, dy) in MOVES:
             acc = None
             for c in range(3):
                 cross = lbuf[c] * shifted(wbuf[c], dy, dx)
-                cross = cross * inside          # zero-pad boundary
+                cross = zero_mask(cross)        # zero-pad boundary
                 bcross = blur(cross)
                 num = bcross * bcross
                 den = bl2_ref[c] * lax_slice_center(

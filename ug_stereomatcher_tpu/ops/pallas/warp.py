@@ -85,42 +85,66 @@ def window_reach(max_dy: int, max_dx: int) -> Tuple[float, float]:
 
 
 def sweep_nearest(buf, dvb, dhb, c0, lo, hi, out_row0, *, H, W, TH, VH,
-                  HBLK):
+                  HBLK, voff=None, vcap=None, dyn_cols=0):
     """Banded one-hot nearest sweep for one 128-lane column block.
 
-    buf: VMEM ref whose row 0 holds source row ``out_row0 - VH``
-    (edge-clamped) and which extends at least ``TH + 2*VH + BAND`` rows at
-    full padded width.  dvb/dhb: (TH, LANES) disparity values for output
-    rows [out_row0, out_row0+TH), columns [c0, c0+LANES).  c0/lo/hi may be
-    Python ints or traced lane-aligned scalars.  Returns the (TH, LANES)
-    warped block.  Shared by the tiled warp kernel and the level-resident
-    kernel (ops/pallas/level.py)."""
+    Static mode (``voff is None``): buf is a VMEM ref whose row 0 holds
+    source row ``out_row0 - VH`` (edge-clamped) and which extends at least
+    ``TH + 2*VH + BAND`` rows at full padded width.  dvb/dhb: (TH, LANES)
+    disparity values for output rows [out_row0, out_row0+TH), columns
+    [c0, c0+LANES).  c0/lo/hi may be Python ints or traced lane-aligned
+    scalars.  Returns the (TH, LANES) warped block.  Shared by the tiled
+    warp kernel and the level-resident kernel (ops/pallas/level.py).
+
+    Dynamic mode (``voff`` given, a traced BAND-aligned scalar): buf row 0
+    holds source row ``out_row0 - voff`` and extends ``vcap`` rows; the
+    caller (plan_dyn_warp) guarantees every gather row of the block lands
+    in [out_row0 - voff, out_row0 - voff + vcap) — the safety clips below
+    only engage on caller error and produce in-bounds garbage, never OOB.
+    With ``dyn_cols = NB > 0`` the horizontal candidate blocks are NB
+    lane-blocks upward from align128(min ix) instead of the static
+    ±HBLK window around c0 — removing the absolute column-offset limit
+    (spread-bounded instead, guarded by the caller)."""
     rloc = jax.lax.broadcasted_iota(jnp.int32, (TH, LANES), 0)
     cloc = jax.lax.broadcasted_iota(jnp.int32, (TH, LANES), 1)
     ys = (rloc + out_row0).astype(jnp.float32) + 0.5 + dvb
     xs = (cloc + c0).astype(jnp.float32) + 0.5 + dhb
     iyb = jnp.clip(jnp.floor(ys), 0, H - 1).astype(jnp.int32)
     ixb = jnp.clip(jnp.floor(xs), 0, W - 1).astype(jnp.int32)
-    kb = jnp.clip(iyb - (out_row0 + rloc), -VH, VH)
-    # clamp the horizontal read into the reachable window so every pixel
-    # hits exactly one (band, s) candidate — offsets beyond the window
-    # clamp to its edge (the documented contract) instead of falling to
-    # the zero init
-    ixb = jnp.clip(ixb, lo, hi + LANES - 1)
+    dyn = voff is not None
+    if dyn:
+        voff_ = voff
+        kb = jnp.clip(iyb - (out_row0 + rloc), -voff_,
+                      vcap - TH - BAND - voff_)
+    else:
+        voff_ = VH
+        kb = jnp.clip(iyb - (out_row0 + rloc), -VH, VH)
+        # clamp the horizontal read into the reachable window so every
+        # pixel hits exactly one (band, s) candidate — offsets beyond the
+        # window clamp to its edge (the documented contract) instead of
+        # falling to the zero init
+        ixb = jnp.clip(ixb, lo, hi + LANES - 1)
     ixmin = jnp.min(ixb)
     ixmax = jnp.max(ixb)
     kmin = jnp.min(kb)
     kmax = jnp.max(kb)
-    # band index of candidate kk is (kk + VH) // BAND
-    bmin = (kmin + VH) // BAND
-    bmax = (kmax + VH) // BAND
+    # band index of candidate kk is (kk + voff) // BAND
+    bmin = (kmin + voff_) // BAND
+    bmax = (kmax + voff_) // BAND
     acc = jnp.zeros((TH, LANES), jnp.float32)
+
+    if dyn_cols:
+        cbase = pl.multiple_of((ixmin // LANES) * LANES, LANES)
+        col_starts = [pl.multiple_of(cbase + s * LANES, LANES)
+                      for s in range(dyn_cols)]
+    else:
+        col_starts = [pl.multiple_of(jnp.clip(c0 + s * LANES, lo, hi),
+                                     LANES)
+                      for s in range(-HBLK, HBLK + 1)]
 
     def band_body(b, a):
         roff = pl.multiple_of(b * BAND, BAND)
-        for s in range(-HBLK, HBLK + 1):
-            s0 = pl.multiple_of(
-                jnp.clip(c0 + s * LANES, lo, hi), LANES)
+        for s0 in col_starts:
 
             def use(a2, s0=s0):
                 slab = buf[pl.ds(roff, TH + BAND),
@@ -128,7 +152,7 @@ def sweep_nearest(buf, dvb, dhb, c0, lo, hi, out_row0, *, H, W, TH, VH,
                 ixr = jnp.clip(ixb - s0, 0, LANES - 1)
                 inb = (ixb >= s0) & (ixb < s0 + LANES)
                 for r in range(BAND):
-                    kk = b * BAND + r - VH
+                    kk = b * BAND + r - voff_
 
                     # per-candidate skip: smooth fields span 1-2 distinct
                     # kk per block, so most of the band's 8 gathers are
@@ -151,7 +175,7 @@ def sweep_nearest(buf, dvb, dhb, c0, lo, hi, out_row0, *, H, W, TH, VH,
 
 
 def sweep_bilinear(buf, dvb, dhb, c0, lo, hi, out_row0, *, H, W, TH, VH,
-                   HBLK):
+                   HBLK, voff=None, vcap=None, dyn_cols=0):
     """Bilinear variant of :func:`sweep_nearest` (CUDA tex linear
     filtering: weights from coord-0.5, each of the 4 taps clamp-addressed).
     Four one-hot tap accumulators share the same band sweep; tap rows
@@ -159,7 +183,9 @@ def sweep_bilinear(buf, dvb, dhb, c0, lo, hi, out_row0, *, H, W, TH, VH,
     so cross-block / cross-band neighbours resolve exactly.  Op order
     matches tex_gather exactly: (coord + 0.5 + d) - 0.5, NOT coord + d —
     the intermediate rounding differs and the tap weights (hence output
-    bits) with it."""
+    bits) with it.  ``voff``/``vcap``/``dyn_cols`` select the dynamic
+    window mode exactly as in :func:`sweep_nearest` (spans computed over
+    both tap rows/columns)."""
     rloc = jax.lax.broadcasted_iota(jnp.int32, (TH, LANES), 0)
     cloc = jax.lax.broadcasted_iota(jnp.int32, (TH, LANES), 1)
     yf = ((rloc + out_row0).astype(jnp.float32) + 0.5 + dvb) - 0.5
@@ -172,25 +198,39 @@ def sweep_bilinear(buf, dvb, dhb, c0, lo, hi, out_row0, *, H, W, TH, VH,
     iy1 = jnp.clip(y0f + 1.0, 0, H - 1).astype(jnp.int32)
     ix0 = jnp.clip(x0f, 0, W - 1).astype(jnp.int32)
     ix1 = jnp.clip(x0f + 1.0, 0, W - 1).astype(jnp.int32)
-    ix0 = jnp.clip(ix0, lo, hi + LANES - 1)
-    ix1 = jnp.clip(ix1, lo, hi + LANES - 1)
-    kb0 = jnp.clip(iy0 - (out_row0 + rloc), -VH, VH)
-    kb1 = jnp.clip(iy1 - (out_row0 + rloc), -VH, VH)
+    dyn = voff is not None
+    if dyn:
+        voff_ = voff
+        klo, khi = -voff_, vcap - TH - BAND - voff_
+    else:
+        voff_ = VH
+        klo, khi = -VH, VH
+        ix0 = jnp.clip(ix0, lo, hi + LANES - 1)
+        ix1 = jnp.clip(ix1, lo, hi + LANES - 1)
+    kb0 = jnp.clip(iy0 - (out_row0 + rloc), klo, khi)
+    kb1 = jnp.clip(iy1 - (out_row0 + rloc), klo, khi)
     ixmin = jnp.min(ix0)
     ixmax = jnp.max(ix1)
     kmin0 = jnp.min(kb0)
     kmax0 = jnp.max(kb0)
     kmin1 = jnp.min(kb1)
     kmax1 = jnp.max(kb1)
-    bmin = (kmin0 + VH) // BAND
-    bmax = (kmax1 + VH) // BAND
+    bmin = (kmin0 + voff_) // BAND
+    bmax = (kmax1 + voff_) // BAND
     zero = jnp.zeros((TH, LANES), jnp.float32)
+
+    if dyn_cols:
+        cbase = pl.multiple_of((ixmin // LANES) * LANES, LANES)
+        col_starts = [pl.multiple_of(cbase + s * LANES, LANES)
+                      for s in range(dyn_cols)]
+    else:
+        col_starts = [pl.multiple_of(jnp.clip(c0 + s * LANES, lo, hi),
+                                     LANES)
+                      for s in range(-HBLK, HBLK + 1)]
 
     def band_body(b, a4):
         roff = pl.multiple_of(b * BAND, BAND)
-        for s in range(-HBLK, HBLK + 1):
-            s0 = pl.multiple_of(
-                jnp.clip(c0 + s * LANES, lo, hi), LANES)
+        for s0 in col_starts:
 
             def use(a4i, s0=s0):
                 a00, a01, a10, a11 = a4i
@@ -201,7 +241,7 @@ def sweep_bilinear(buf, dvb, dhb, c0, lo, hi, out_row0, *, H, W, TH, VH,
                 in0 = (ix0 >= s0) & (ix0 < s0 + LANES)
                 in1 = (ix1 >= s0) & (ix1 < s0 + LANES)
                 for r in range(BAND):
-                    kk = b * BAND + r - VH
+                    kk = b * BAND + r - voff_
 
                     # per-candidate skip, as in the nearest path: only kk
                     # values some tap row actually targets pay for their
@@ -348,3 +388,219 @@ def warp_windowed(img: jnp.ndarray, disp_x: jnp.ndarray,
 def warp_nearest_windowed(img, disp_x, disp_y, **kw):
     """Nearest-mode alias of :func:`warp_windowed` (original entry point)."""
     return warp_windowed(img, disp_x, disp_y, method="nearest", **kw)
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-window warp: per-row-tile source windows + double-buffered DMA.
+#
+# The static kernel above DMAs TH + 2*VH + BAND source rows per tile —
+# VH = 160 at level 0, i.e. ~1.2 GB of slab traffic per 16MP warp, waited on
+# serially (double-buffering two 7.8 MB slabs would blow the 16 MB scoped
+# VMEM).  But disparity fields are SMOOTH: each 64-row tile's gather span is
+# tile height + field spread, a few dozen rows.  The dynamic path measures
+# the live field once (plan_dyn_warp — the same full-plane pass the static
+# path already spends on its overflow guard), positions a fixed-capacity
+# window per tile, and double-buffers the now-small slabs across grid steps.
+# Absolute offsets become unbounded (the window follows the field); only the
+# per-tile SPREAD is capacity-limited, with the planner's ok flag routing
+# out-of-budget fields to the exact XLA gather (same fallback contract as
+# match.warp_for_level).  Horizontal candidates are likewise based at
+# align128(min ix) per (tile, lane-block) in-kernel — NB blocks upward —
+# instead of a +-HBLK window around the output block.
+# ---------------------------------------------------------------------------
+
+# Capacity rows beyond the tile (CR = tile_rows + this): bounds the
+# per-row-tile vertical gather SPREAD at CR - tile_rows - 15.  Sized from
+# the measured free-running 16MP bench fields (tools/probe_spreads.py):
+# worst per-tile span 103 at L0 (73 at L1, 52 at L2 — per-pixel outliers
+# land in a few tiles; the p95 tile spans only ~28), so 128 gives a 113
+# budget with ~10% margin.  Over-budget fields tier down to the static
+# windowed kernel (match.warp_for_level), not the slow exact gather.
+DYN_CAP_SLACK = 128
+DYN_COL_BLOCKS = 3     # NB: per-block horizontal window = NB * 128 lanes
+DYN_VMEM_BUDGET = 15 * 2 ** 20 + 2 ** 19
+
+
+def dyn_vmem_bytes(width: int, tile_rows: int = 64,
+                   cap_rows: int = None) -> int:
+    """Rough VMEM footprint of the dynamic kernel (slab double-buffer +
+    pipelined dh/dv/out blocks) for gating against DYN_VMEM_BUDGET."""
+    Wp = _ceil_to(width, LANES)
+    CR = cap_rows or tile_rows + DYN_CAP_SLACK
+    return 4 * Wp * (2 * CR + 6 * tile_rows)
+
+
+def plan_dyn_warp(disp_x: jnp.ndarray, disp_y: jnp.ndarray, H: int, W: int,
+                  tile_rows: int = 64, cap_rows: int = None,
+                  n_col_blocks: int = DYN_COL_BLOCKS,
+                  method: str = "nearest"):
+    """Per-row-tile dynamic window plan for :func:`warp_windowed_dyn`.
+
+    Returns ``(voffs, ok)``: ``voffs`` is an (ni,) int32 array of
+    BAND-aligned vertical window offsets (tile i's slab starts voffs[i]
+    rows above its first output row), and ``ok`` is a scalar bool — True
+    iff every tile's vertical gather span fits ``cap_rows`` AND every
+    (tile, 128-lane block)'s horizontal span fits ``n_col_blocks`` lane
+    blocks.  When ok is False the dynamic kernel's safety clips would
+    produce in-bounds garbage; callers MUST route to the exact unbounded
+    gather instead (match.warp_for_level does).  This planning pass plays
+    the role of the static path's absolute-reach overflow guard — same
+    cost (one fused pass over the disparity planes), spread-bounded
+    instead of magnitude-bounded."""
+    TH = tile_rows
+    CR = cap_rows or TH + DYN_CAP_SLACK
+    NB = n_col_blocks
+    Hp = _ceil_to(H, TH)
+    Wp = _ceil_to(W, LANES)
+    ni = Hp // TH
+    ncb = Wp // LANES
+    dhp = jnp.pad(disp_x, ((0, Hp - H), (0, Wp - W)))
+    dvp = jnp.pad(disp_y, ((0, Hp - H), (0, Wp - W)))
+    r = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 1)
+    rf = r.astype(jnp.float32)
+    cf = c.astype(jnp.float32)
+    if method == "nearest":
+        klo = khi = (jnp.clip(jnp.floor(rf + 0.5 + dvp), 0, H - 1)
+                     .astype(jnp.int32) - r)
+        ixlo = ixhi = jnp.clip(jnp.floor(cf + 0.5 + dhp), 0,
+                               W - 1).astype(jnp.int32)
+    elif method == "bilinear":
+        y0 = jnp.floor((rf + 0.5 + dvp) - 0.5)
+        x0 = jnp.floor((cf + 0.5 + dhp) - 0.5)
+        klo = jnp.clip(y0, 0, H - 1).astype(jnp.int32) - r
+        khi = jnp.clip(y0 + 1.0, 0, H - 1).astype(jnp.int32) - r
+        ixlo = jnp.clip(x0, 0, W - 1).astype(jnp.int32)
+        ixhi = jnp.clip(x0 + 1.0, 0, W - 1).astype(jnp.int32)
+    else:
+        raise ValueError(f"unknown warp method {method!r}")
+    # pad rows sit below the image and clip to iy = H-1, driving k hugely
+    # negative — they are discarded by the output slice, so exclude them
+    # from the plan (the kernel's safety clips keep their reads in-bounds)
+    pad_row = r >= H
+    klo = jnp.where(pad_row, 0, klo)
+    khi = jnp.where(pad_row, 0, khi)
+    kmin = klo.reshape(ni, TH, Wp).min(axis=(1, 2))
+    kmax = khi.reshape(ni, TH, Wp).max(axis=(1, 2))
+    voffs = (-jnp.floor_divide(kmin, BAND) * BAND).astype(jnp.int32)
+    ok_v = jnp.all(kmax + voffs + TH + BAND <= CR)
+    ixmin = ixlo.reshape(ni, TH, ncb, LANES).min(axis=(1, 3))
+    ixmax = ixhi.reshape(ni, TH, ncb, LANES).max(axis=(1, 3))
+    # exact coverage criterion: the kernel bases its NB blocks at
+    # align128(min ix), so the last covered column is that + NB*128 - 1
+    ok_h = jnp.all(ixmax - jnp.floor_divide(ixmin, LANES) * LANES
+                   <= NB * LANES - 1)
+    return voffs, ok_v & ok_h
+
+
+def _warp_kernel_dyn(imgp_ref, dh_ref, dv_ref, voff_ref, out_ref, bufs,
+                     sems, *, H, W, Wp, TH, PT, CR, NB, n_cblk, ni, nsteps,
+                     bilinear):
+    g = pl.program_id(0)        # flattened (channel, row-tile) step
+    i = g % ni
+    r0 = i * TH
+    sweep = sweep_bilinear if bilinear else sweep_nearest
+
+    def dma(slot, g2):
+        c2 = g2 // ni
+        i2 = g2 % ni
+        base = pl.multiple_of(i2 * TH + PT - voff_ref[0, i2], BAND)
+        return pltpu.make_async_copy(
+            imgp_ref.at[c2, pl.ds(base, CR), :], bufs.at[slot],
+            sems.at[slot])
+
+    # Double-buffered slabs: tile g+1's copy runs behind tile g's sweep,
+    # so the (now small) slab DMA never lands on the critical path — the
+    # static kernel's big slabs preclude this (2 slots would blow VMEM).
+    @pl.when(g == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(g + 1 < nsteps)
+    def _():
+        dma((g + 1) % 2, g + 1).start()
+
+    slot = g % 2
+    dma(slot, g).wait()
+    voff = voff_ref[0, i]
+
+    def col_block(cblk, carry):
+        c0 = pl.multiple_of(cblk * LANES, LANES)
+        dvb = dv_ref[:, pl.ds(c0, LANES)]
+        dhb = dh_ref[:, pl.ds(c0, LANES)]
+        out_ref[0, :, pl.ds(c0, LANES)] = sweep(
+            bufs.at[slot], dvb, dhb, c0, 0, 0, r0,
+            H=H, W=W, TH=TH, VH=0, HBLK=0, voff=voff, vcap=CR,
+            dyn_cols=NB)
+        return carry
+
+    jax.lax.fori_loop(0, n_cblk, col_block, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "cap_rows",
+                                             "n_col_blocks", "interpret",
+                                             "method"))
+def warp_windowed_dyn(img: jnp.ndarray, disp_x: jnp.ndarray,
+                      disp_y: jnp.ndarray, voffs: jnp.ndarray,
+                      tile_rows: int = 64, cap_rows: int = None,
+                      n_col_blocks: int = DYN_COL_BLOCKS,
+                      interpret: bool = False,
+                      method: str = "nearest") -> jnp.ndarray:
+    """Dynamic-window warp.  img: (C, H, W) or (H, W); disp_x/disp_y:
+    (H, W); voffs: the (ni,) plan from :func:`plan_dyn_warp` (same
+    tile_rows/cap_rows/n_col_blocks/method — capacities are part of the
+    plan).  Exact vs the XLA gather (``ops.resample.warp_by_disparity``)
+    whenever the plan's ok flag is True, for ANY absolute offset; callers
+    must not use the output when ok was False (in-bounds garbage).  Same
+    sweep maths as :func:`warp_windowed` — only the window placement and
+    slab pipelining differ (warpAbyB parity contract unchanged,
+    MatchLib.cu:499-549)."""
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[None]
+    TH = tile_rows
+    CR = cap_rows or TH + DYN_CAP_SLACK
+    NB = n_col_blocks
+    C = img.shape[0]
+    H, W = disp_x.shape
+    Hp = _ceil_to(H, TH)
+    Wp = _ceil_to(W, LANES)
+    ni = Hp // TH
+    n_cblk = Wp // LANES
+    PT = TH + BAND   # top pad: worst-case window start is base >= 2 > 0
+    PB = CR          # bottom pad: base <= PT + H - 1 always leaves CR rows
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"unknown warp method {method!r}")
+
+    imgp = jnp.pad(img, ((0, 0), (PT, PB + (Hp - H)), (0, Wp - W)),
+                   mode="edge")
+    dhp = jnp.pad(disp_x, ((0, Hp - H), (0, Wp - W)))
+    dvp = jnp.pad(disp_y, ((0, Hp - H), (0, Wp - W)))
+    voffs2 = jnp.asarray(voffs, jnp.int32).reshape(1, ni)
+
+    kernel = functools.partial(
+        _warp_kernel_dyn, H=H, W=W, Wp=Wp, TH=TH, PT=PT, CR=CR, NB=NB,
+        n_cblk=n_cblk, ni=ni, nsteps=C * ni,
+        bilinear=(method == "bilinear"))
+    out = pl.pallas_call(
+        kernel,
+        grid=(C * ni,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((TH, Wp), lambda g: (g % ni, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TH, Wp), lambda g: (g % ni, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TH, Wp), lambda g: (g // ni, g % ni, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, Hp, Wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, CR, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(imgp, dhp, dvp, voffs2)
+    out = out[:, :H, :W]
+    return out[0] if squeeze else out
