@@ -110,3 +110,21 @@ def test_hierarchical_fovea_window_is_finest_level():
     upper = h // 2 - fov_h // 2
     np.testing.assert_allclose(
         out[:, upper:upper + fov_h, left:left + fov_w], 1.0)
+
+
+def test_build_pyramid_pair_bit_identical_to_separate_builds():
+    """The stacked (2C, H, W) pair build must equal two separate builds
+    per channel exactly (the chain is channel-agnostic)."""
+    cfg = MatcherConfig()
+    h, w = 75, 103
+    left = jnp.asarray(RNG.rand(3, h, w).astype(np.float32))
+    right = jnp.asarray(RNG.rand(3, h, w).astype(np.float32))
+    n = cfg.num_levels(h, w)
+    lp, rp = pyr.build_pyramid_pair(left, right, cfg, n)
+    lp_ref = pyr.build_pyramid(left, cfg, n)
+    rp_ref = pyr.build_pyramid(right, cfg, n)
+    assert len(lp) == len(lp_ref) == n
+    for a, b in zip(lp, lp_ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(rp, rp_ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

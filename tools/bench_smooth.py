@@ -1,0 +1,77 @@
+"""A/B fused_smooth_average tile sizes on the live chip (L0 size).
+
+Env: SM_TR / SM_TC (defaults 64 / 1024), SM_N (passes, default 10).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+from bench import _setup_jax  # noqa: E402
+
+jax = _setup_jax()
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax import lax  # noqa: E402
+
+from ug_stereomatcher_tpu import ops  # noqa: E402
+from ug_stereomatcher_tpu.ops.pallas.smooth import (  # noqa: E402
+    fused_smooth_average)
+
+TR = int(os.environ.get("SM_TR", 64))
+TC = int(os.environ.get("SM_TC", 1024))
+NP_ = int(os.environ.get("SM_N", 10))
+N = 8
+REPEATS = 3
+H, W = (int(sys.argv[1]), int(sys.argv[2])) if len(sys.argv) > 2 \
+    else (3264, 4928)
+
+
+def sync(x):
+    return float(jnp.sum(x))
+
+
+def timed(fn, *args):
+    fn_j = jax.jit(fn)
+    out = fn_j(*args)
+    sync(jax.tree_util.tree_leaves(out)[0])
+    best = 1e9
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        out = fn_j(*args)
+        sync(jax.tree_util.tree_leaves(out)[0])
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def chained(body, init, *consts):
+    def loop(x, *cs):
+        return lax.fori_loop(0, N, lambda i, c: body(c, *cs), x)
+    return timed(loop, init, *consts)
+
+
+def main():
+    rng = np.random.RandomState(0)
+    st = jnp.asarray(rng.rand(3, H, W).astype(np.float32) + 0.05)
+
+    out = fused_smooth_average(st, n_passes=NP_, tile_rows=TR, tile_cols=TC)
+    ref = st
+    for _ in range(NP_):
+        ref = ops.weighted_smooth(ref, ref[2])
+    ref = ops.blur_average_clamp(ref)
+    err = float(jnp.max(jnp.abs(out - ref)))
+    print(f"TR={TR} TC={TC} n={NP_} {H}x{W} maxerr={err:.3e}")
+
+    floor = chained(lambda x: x + 1.0, jnp.zeros((8, 128), jnp.float32))
+
+    def body(c):
+        return fused_smooth_average(c, n_passes=NP_, tile_rows=TR,
+                                    tile_cols=TC)
+    t = chained(body, st)
+    print(f"fused_smooth {(t - floor)/N*1e3:8.3f} ms/call "
+          f"(floor {floor/N*1e3:.2f})")
+
+
+if __name__ == "__main__":
+    main()

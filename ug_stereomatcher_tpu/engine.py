@@ -201,8 +201,7 @@ class StereoEngine:
     def _match_impl(self, left, right, *, height, width):
         cfg = self.config
         n = cfg.num_levels(height, width)
-        lp = pyr.build_pyramid(left, cfg, n)
-        rp = pyr.build_pyramid(right, cfg, n)
+        lp, rp = pyr.build_pyramid_pair(left, right, cfg, n)
         res = match_mod.match_pyramid(lp, rp, cfg, (height, width),
                                       foveated=False)
         return res.levels[0]
@@ -237,8 +236,7 @@ class StereoEngine:
     def _match_foveated_impl(self, left, right, *, height, width):
         cfg = self.config
         n = cfg.num_levels(height, width)
-        lp = pyr.build_pyramid(left, cfg, n)
-        rp = pyr.build_pyramid(right, cfg, n)
+        lp, rp = pyr.build_pyramid_pair(left, right, cfg, n)
         lf = pyr.foveate_pyramid(lp, cfg, (height, width))
         rf = pyr.foveate_pyramid(rp, cfg, (height, width))
         res = match_mod.match_pyramid(lf, rf, cfg, (height, width),
@@ -277,8 +275,7 @@ class StereoEngine:
     def _match_hierarchical_impl(self, left, right, *, height, width):
         cfg = self.config
         n = cfg.num_levels(height, width)
-        lp = pyr.build_pyramid(left, cfg, n)
-        rp = pyr.build_pyramid(right, cfg, n)
+        lp, rp = pyr.build_pyramid_pair(left, right, cfg, n)
         lf = pyr.foveate_pyramid(lp, cfg, (height, width))
         rf = pyr.foveate_pyramid(rp, cfg, (height, width))
         res = match_mod.match_pyramid(lf, rf, cfg, (height, width),
@@ -400,8 +397,7 @@ class StereoEngine:
         return MatchResult(trip[0], trip[1], trip[2]), breakdown
 
     def _profile_build(self, left, right, *, n):
-        lp = pyr.build_pyramid(left, self.config, n)
-        rp = pyr.build_pyramid(right, self.config, n)
+        lp, rp = pyr.build_pyramid_pair(left, right, self.config, n)
         return tuple(lp), tuple(rp)
 
     def warmup(self, height: int, width: int, foveated: bool = False) -> None:

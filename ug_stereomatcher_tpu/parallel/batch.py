@@ -34,8 +34,7 @@ from ug_stereomatcher_tpu import pyramid as pyr
 
 def _single_pair(left, right, cfg: MatcherConfig, height: int, width: int):
     n = cfg.num_levels(height, width)
-    lp = pyr.build_pyramid(left, cfg, n)
-    rp = pyr.build_pyramid(right, cfg, n)
+    lp, rp = pyr.build_pyramid_pair(left, right, cfg, n)
     res = match_mod.match_pyramid(lp, rp, cfg, (height, width),
                                   foveated=False)
     return res.levels[0]

@@ -780,8 +780,13 @@ def sharded_match_pair(left: jnp.ndarray, right: jnp.ndarray,
             f"({mesh.shape[pairs_axis]}); got {left.shape[0]} — chunk the "
             f"batch (parallel.batch.make_batch_matcher does)")
 
-    lp = sharded_build_pyramid(left, cfg, n, mesh, **kw)
-    rp = sharded_build_pyramid(right, cfg, n, mesh, **kw)
+    # both images' pyramids in one stacked pass (pyramid.build_pyramid_pair
+    # rationale: the chain is channel-agnostic; halves sharded stage count)
+    c = left.shape[-3]
+    stacked = sharded_build_pyramid(
+        jnp.concatenate([left, right], axis=-3), cfg, n, mesh, **kw)
+    lp = [lv[..., :c, :, :] for lv in stacked]
+    rp = [lv[..., c:, :, :] for lv in stacked]
     if foveated:
         lp = pyr.foveate_pyramid(lp, cfg, (h, w))
         rp = pyr.foveate_pyramid(rp, cfg, (h, w))

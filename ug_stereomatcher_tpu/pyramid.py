@@ -54,6 +54,24 @@ def _resample(img, out_h: int, out_w: int, coord_of, value_scale: float,
     return fallback()
 
 
+def build_pyramid_pair(left: jnp.ndarray, right: jnp.ndarray,
+                       cfg: MatcherConfig, num_levels: int | None = None
+                       ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+    """Both images' pyramids in ONE stacked pass.
+
+    The blur/subsample chain is channel-agnostic (the reference loops
+    channels one CUDA stream at a time, MatchGPULib.cpp:1033-1125; here
+    channels are just a batched axis), so a (2C, H, W) stack halves the
+    per-level kernel launches and amortises each blur/subsample's fixed
+    costs across both images.  Bit-identical per channel to two separate
+    :func:`build_pyramid` calls."""
+    c = left.shape[-3]
+    stacked = jnp.concatenate([left, right], axis=-3)
+    levels = build_pyramid(stacked, cfg, num_levels)
+    return ([lv[..., :c, :, :] for lv in levels],
+            [lv[..., c:, :, :] for lv in levels])
+
+
 def build_pyramid(image: jnp.ndarray, cfg: MatcherConfig,
                   num_levels: int | None = None) -> List[jnp.ndarray]:
     """Build the image pyramid.  image: (C, H, W) float. Returns a list of
