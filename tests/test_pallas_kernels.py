@@ -317,6 +317,64 @@ class TestDynamicWarp:
         ref = np.asarray(ops.warp_by_disparity(img, dh, dv))
         np.testing.assert_array_equal(out, ref)
 
+    @pytest.mark.parametrize("method", ["nearest", "bilinear"])
+    def test_row_halo_mode_matches_global_gather(self, method):
+        """Sharded mode: a local row block with real halo rows + global
+        row offset must produce exactly the matching row slice of the
+        unsharded gather (same contract as warp_windowed's row_halo)."""
+        from ug_stereomatcher_tpu.ops.pallas.warp import (
+            plan_dyn_warp, warp_windowed_dyn)
+        H, w = 192, 256
+        hl, vh = 64, 16                      # shard rows, exchanged halo
+        img = jnp.asarray(RNG.rand(3, H, w).astype(np.float32))
+        yy = np.linspace(0, 1, H)[:, None]
+        xx = np.linspace(0, 1, w)[None, :]
+        dh_full = (40.0 * np.sin(2 * np.pi * yy)
+                   * np.cos(2 * np.pi * xx)).astype(np.float32)
+        dv_full = (5.0 * np.cos(2 * np.pi * xx)
+                   + 0.0 * yy).astype(np.float32)
+        ref = np.asarray(ops.warp_by_disparity(
+            img, jnp.asarray(dh_full), jnp.asarray(dv_full), method))
+        for row0 in (0, 64, 128):            # incl. image-edge shards
+            lo = max(row0 - vh, 0)
+            hi = min(row0 + hl + vh, H)
+            blk = np.asarray(img)[:, lo:hi]
+            # edge shards: replicate the boundary row into the halo (the
+            # halo-exchange layer's clamp form)
+            blk = np.concatenate(
+                [np.repeat(blk[:, :1], vh - (row0 - lo), axis=1), blk,
+                 np.repeat(blk[:, -1:], vh - (hi - row0 - hl), axis=1)],
+                axis=1)
+            dh = jnp.asarray(dh_full[row0:row0 + hl])
+            dv = jnp.asarray(dv_full[row0:row0 + hl])
+            voffs, ok = plan_dyn_warp(dh, dv, H=H, W=w, method=method,
+                                      row0=row0, halo_rows=vh)
+            assert bool(ok), row0
+            out = np.asarray(warp_windowed_dyn(
+                jnp.asarray(blk), dh, dv, voffs, interpret=True,
+                method=method, row_halo=True, row0=row0, global_h=H,
+                halo_rows=vh))
+            if method == "nearest":
+                np.testing.assert_array_equal(out, ref[:, row0:row0 + hl])
+            else:
+                np.testing.assert_allclose(out, ref[:, row0:row0 + hl],
+                                           rtol=1e-6, atol=1e-6)
+
+    def test_row_halo_plan_rejects_beyond_halo(self):
+        """A field gathering past the exchanged halo must flip ok=False —
+        the shard does not hold those rows."""
+        from ug_stereomatcher_tpu.ops.pallas.warp import plan_dyn_warp
+        H, w = 192, 256
+        hl, vh, row0 = 64, 16, 64
+        dh = jnp.zeros((hl, w), jnp.float32)
+        dv = jnp.full((hl, w), 30.0, jnp.float32)   # 30 > vh = 16
+        _, ok = plan_dyn_warp(dh, dv, H=H, W=w, row0=row0, halo_rows=vh)
+        assert not bool(ok)
+        dv_in = jnp.full((hl, w), 10.0, jnp.float32)  # 10 < 16: fits
+        _, ok = plan_dyn_warp(dh, dv_in, H=H, W=w, row0=row0,
+                              halo_rows=vh)
+        assert bool(ok)
+
     def test_tile_capacity_is_per_tile_not_global(self):
         """Two distant tiles with very different absolute offsets but small
         local spreads must both be exact (the static window could not

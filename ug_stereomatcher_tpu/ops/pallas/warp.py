@@ -433,7 +433,8 @@ def dyn_vmem_bytes(width: int, tile_rows: int = 64,
 def plan_dyn_warp(disp_x: jnp.ndarray, disp_y: jnp.ndarray, H: int, W: int,
                   tile_rows: int = 64, cap_rows: int = None,
                   n_col_blocks: int = DYN_COL_BLOCKS,
-                  method: str = "nearest"):
+                  method: str = "nearest", row0=None,
+                  halo_rows: int = 0):
     """Per-row-tile dynamic window plan for :func:`warp_windowed_dyn`.
 
     Returns ``(voffs, ok)``: ``voffs`` is an (ni,) int32 array of
@@ -442,48 +443,75 @@ def plan_dyn_warp(disp_x: jnp.ndarray, disp_y: jnp.ndarray, H: int, W: int,
     iff every tile's vertical gather span fits ``cap_rows`` AND every
     (tile, 128-lane block)'s horizontal span fits ``n_col_blocks`` lane
     blocks.  When ok is False the dynamic kernel's safety clips would
-    produce in-bounds garbage; callers MUST route to the exact unbounded
-    gather instead (match.warp_for_level does).  This planning pass plays
-    the role of the static path's absolute-reach overflow guard — same
-    cost (one fused pass over the disparity planes), spread-bounded
-    instead of magnitude-bounded."""
+    produce in-bounds garbage; callers MUST route to an exact path
+    instead (match.warp_for_level tiers dyn -> static windowed ->
+    unbounded gather).  This planning pass plays the role of the static
+    path's absolute-reach overflow guard — same cost (one fused pass
+    over the disparity planes), spread-bounded instead of
+    magnitude-bounded.
+
+    Row-sharded mode (``row0`` given, a traced scalar): disp_x/disp_y are
+    a shard's local (Hl, W) blocks, ``H`` is the GLOBAL image height, and
+    the source buffer is the local image block with ``halo_rows`` REAL
+    neighbour rows attached above and below (the same halo-exchange
+    contract as warp_windowed's row_halo mode).  Windows must then also
+    fit inside the exchanged halo — tiles whose field reaches beyond it
+    flip ok to False (the caller tiers down), so exactness never depends
+    on rows a shard does not hold."""
     TH = tile_rows
     CR = cap_rows or TH + DYN_CAP_SLACK
     NB = n_col_blocks
-    Hp = _ceil_to(H, TH)
+    Hl = disp_x.shape[0]
+    sharded = row0 is not None
+    r0g = jnp.asarray(row0 if sharded else 0, jnp.int32)
+    Hp = _ceil_to(Hl, TH)
     Wp = _ceil_to(W, LANES)
     ni = Hp // TH
     ncb = Wp // LANES
-    dhp = jnp.pad(disp_x, ((0, Hp - H), (0, Wp - W)))
-    dvp = jnp.pad(disp_y, ((0, Hp - H), (0, Wp - W)))
+    dhp = jnp.pad(disp_x, ((0, Hp - Hl), (0, Wp - W)))
+    dvp = jnp.pad(disp_y, ((0, Hp - Hl), (0, Wp - W)))
     r = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 1)
-    rf = r.astype(jnp.float32)
+    rg = r + r0g                      # global output row
+    rf = rg.astype(jnp.float32)
     cf = c.astype(jnp.float32)
     if method == "nearest":
-        klo = khi = (jnp.clip(jnp.floor(rf + 0.5 + dvp), 0, H - 1)
-                     .astype(jnp.int32) - r)
+        iylo = iyhi = jnp.clip(jnp.floor(rf + 0.5 + dvp), 0,
+                               H - 1).astype(jnp.int32)
         ixlo = ixhi = jnp.clip(jnp.floor(cf + 0.5 + dhp), 0,
                                W - 1).astype(jnp.int32)
     elif method == "bilinear":
         y0 = jnp.floor((rf + 0.5 + dvp) - 0.5)
         x0 = jnp.floor((cf + 0.5 + dhp) - 0.5)
-        klo = jnp.clip(y0, 0, H - 1).astype(jnp.int32) - r
-        khi = jnp.clip(y0 + 1.0, 0, H - 1).astype(jnp.int32) - r
+        iylo = jnp.clip(y0, 0, H - 1).astype(jnp.int32)
+        iyhi = jnp.clip(y0 + 1.0, 0, H - 1).astype(jnp.int32)
         ixlo = jnp.clip(x0, 0, W - 1).astype(jnp.int32)
         ixhi = jnp.clip(x0 + 1.0, 0, W - 1).astype(jnp.int32)
     else:
         raise ValueError(f"unknown warp method {method!r}")
-    # pad rows sit below the image and clip to iy = H-1, driving k hugely
+    klo = iylo - rg
+    khi = iyhi - rg
+    # pad rows sit below the block and clip to iy = H-1, driving k hugely
     # negative — they are discarded by the output slice, so exclude them
     # from the plan (the kernel's safety clips keep their reads in-bounds)
-    pad_row = r >= H
+    pad_row = r >= Hl
     klo = jnp.where(pad_row, 0, klo)
     khi = jnp.where(pad_row, 0, khi)
     kmin = klo.reshape(ni, TH, Wp).min(axis=(1, 2))
     kmax = khi.reshape(ni, TH, Wp).max(axis=(1, 2))
     voffs = (-jnp.floor_divide(kmin, BAND) * BAND).astype(jnp.int32)
     ok_v = jnp.all(kmax + voffs + TH + BAND <= CR)
+    if sharded:
+        # windows must stay inside the exchanged halo: buffer rows span
+        # global [row0 - halo_rows, row0 + Hl + halo_rows)
+        iymin = jnp.where(pad_row, rg, iylo).reshape(ni, TH, Wp).min()
+        iymax = jnp.where(pad_row, rg, iyhi).reshape(ni, TH, Wp).max()
+        tile_r0 = jnp.arange(ni, dtype=jnp.int32) * TH
+        ok_v = (ok_v
+                & (iymin >= r0g - halo_rows)
+                & (iymax <= r0g + Hl + halo_rows - 1)
+                # slab start must not run off the buffer top
+                & jnp.all(voffs <= tile_r0 + halo_rows))
     ixmin = ixlo.reshape(ni, TH, ncb, LANES).min(axis=(1, 3))
     ixmax = ixhi.reshape(ni, TH, ncb, LANES).max(axis=(1, 3))
     # exact coverage criterion: the kernel bases its NB blocks at
@@ -493,12 +521,16 @@ def plan_dyn_warp(disp_x: jnp.ndarray, disp_y: jnp.ndarray, H: int, W: int,
     return voffs, ok_v & ok_h
 
 
-def _warp_kernel_dyn(imgp_ref, dh_ref, dv_ref, voff_ref, out_ref, bufs,
-                     sems, *, H, W, Wp, TH, PT, CR, NB, n_cblk, ni, nsteps,
-                     bilinear):
+def _warp_kernel_dyn(imgp_ref, dh_ref, dv_ref, voff_ref, row0_ref, out_ref,
+                     bufs, sems, *, H, W, Wp, TH, PT, CR, NB, n_cblk, ni,
+                     nsteps, bilinear):
     g = pl.program_id(0)        # flattened (channel, row-tile) step
     i = g % ni
     r0 = i * TH
+    # global row of this tile's first output row (0 unsharded; the shard
+    # offset in row-sharded mode — gather coords are global, the buffer
+    # stays locally indexed)
+    row0 = row0_ref[0, 0]
     sweep = sweep_bilinear if bilinear else sweep_nearest
 
     def dma(slot, g2):
@@ -529,7 +561,7 @@ def _warp_kernel_dyn(imgp_ref, dh_ref, dv_ref, voff_ref, out_ref, bufs,
         dvb = dv_ref[:, pl.ds(c0, LANES)]
         dhb = dh_ref[:, pl.ds(c0, LANES)]
         out_ref[0, :, pl.ds(c0, LANES)] = sweep(
-            bufs.at[slot], dvb, dhb, c0, 0, 0, r0,
+            bufs.at[slot], dvb, dhb, c0, 0, 0, r0 + row0,
             H=H, W=W, TH=TH, VH=0, HBLK=0, voff=voff, vcap=CR,
             dyn_cols=NB)
         return carry
@@ -539,13 +571,16 @@ def _warp_kernel_dyn(imgp_ref, dh_ref, dv_ref, voff_ref, out_ref, bufs,
 
 @functools.partial(jax.jit, static_argnames=("tile_rows", "cap_rows",
                                              "n_col_blocks", "interpret",
-                                             "method"))
+                                             "method", "row_halo",
+                                             "global_h", "halo_rows"))
 def warp_windowed_dyn(img: jnp.ndarray, disp_x: jnp.ndarray,
                       disp_y: jnp.ndarray, voffs: jnp.ndarray,
                       tile_rows: int = 64, cap_rows: int = None,
                       n_col_blocks: int = DYN_COL_BLOCKS,
                       interpret: bool = False,
-                      method: str = "nearest") -> jnp.ndarray:
+                      method: str = "nearest", row_halo: bool = False,
+                      row0=None, global_h: int = None,
+                      halo_rows: int = 0) -> jnp.ndarray:
     """Dynamic-window warp.  img: (C, H, W) or (H, W); disp_x/disp_y:
     (H, W); voffs: the (ni,) plan from :func:`plan_dyn_warp` (same
     tile_rows/cap_rows/n_col_blocks/method — capacities are part of the
@@ -554,7 +589,15 @@ def warp_windowed_dyn(img: jnp.ndarray, disp_x: jnp.ndarray,
     must not use the output when ok was False (in-bounds garbage).  Same
     sweep maths as :func:`warp_windowed` — only the window placement and
     slab pipelining differ (warpAbyB parity contract unchanged,
-    MatchLib.cu:499-549)."""
+    MatchLib.cu:499-549).
+
+    Row-sharded mode (``row_halo=True``): ``img`` is a local row block
+    with ``halo_rows`` REAL halo rows attached above and below
+    (neighbour rows from a prior ``ppermute``), disp_x/disp_y are the
+    local (Hl, W) blocks, ``row0`` the block's global first row (traced)
+    and ``global_h`` the image height — the same contract as
+    :func:`warp_windowed`'s row_halo mode, with the plan (row0 passed to
+    plan_dyn_warp) guaranteeing every window fits the exchanged halo."""
     squeeze = img.ndim == 2
     if squeeze:
         img = img[None]
@@ -562,20 +605,33 @@ def warp_windowed_dyn(img: jnp.ndarray, disp_x: jnp.ndarray,
     CR = cap_rows or TH + DYN_CAP_SLACK
     NB = n_col_blocks
     C = img.shape[0]
-    H, W = disp_x.shape
-    Hp = _ceil_to(H, TH)
+    Hl, W = disp_x.shape
+    H = int(global_h) if row_halo else Hl
+    Hp = _ceil_to(Hl, TH)
     Wp = _ceil_to(W, LANES)
     ni = Hp // TH
     n_cblk = Wp // LANES
-    PT = TH + BAND   # top pad: worst-case window start is base >= 2 > 0
-    PB = CR          # bottom pad: base <= PT + H - 1 always leaves CR rows
+    if row_halo:
+        if halo_rows % BAND:
+            raise ValueError(f"halo_rows must be BAND-aligned, got "
+                             f"{halo_rows}")
+        PT = halo_rows   # real halo rows play the top-pad role
+        r0v = jnp.asarray(row0, jnp.int32).reshape(1, 1)
+    else:
+        PT = TH + BAND   # top pad: worst-case window start is base >= 2
+        r0v = jnp.zeros((1, 1), jnp.int32)
+    PB = CR          # bottom pad: base always leaves CR in-bounds rows
     if method not in ("nearest", "bilinear"):
         raise ValueError(f"unknown warp method {method!r}")
 
-    imgp = jnp.pad(img, ((0, 0), (PT, PB + (Hp - H)), (0, Wp - W)),
-                   mode="edge")
-    dhp = jnp.pad(disp_x, ((0, Hp - H), (0, Wp - W)))
-    dvp = jnp.pad(disp_y, ((0, Hp - H), (0, Wp - W)))
+    if row_halo:
+        imgp = jnp.pad(img, ((0, 0), (0, PB + (Hp - Hl)), (0, Wp - W)),
+                       mode="edge")
+    else:
+        imgp = jnp.pad(img, ((0, 0), (PT, PB + (Hp - Hl)), (0, Wp - W)),
+                       mode="edge")
+    dhp = jnp.pad(disp_x, ((0, Hp - Hl), (0, Wp - W)))
+    dvp = jnp.pad(disp_y, ((0, Hp - Hl), (0, Wp - W)))
     voffs2 = jnp.asarray(voffs, jnp.int32).reshape(1, ni)
 
     kernel = functools.partial(
@@ -592,6 +648,7 @@ def warp_windowed_dyn(img: jnp.ndarray, disp_x: jnp.ndarray,
             pl.BlockSpec((TH, Wp), lambda g: (g % ni, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, TH, Wp), lambda g: (g // ni, g % ni, 0),
                                memory_space=pltpu.VMEM),
@@ -601,6 +658,6 @@ def warp_windowed_dyn(img: jnp.ndarray, disp_x: jnp.ndarray,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(imgp, dhp, dvp, voffs2)
-    out = out[:, :H, :W]
+    )(imgp, dhp, dvp, voffs2, r0v)
+    out = out[:, :Hl, :W]
     return out[0] if squeeze else out

@@ -214,7 +214,8 @@ def _fused_level_body(left, right, disp0, *, cfg: MatcherConfig,
     from ug_stereomatcher_tpu.ops.pallas.smooth import (
         fused_smooth_average, smooth_halo_rows)
     from ug_stereomatcher_tpu.ops.pallas.warp import (
-        warp_halo_rows, warp_windowed, window_reach)
+        DYN_VMEM_BUDGET, dyn_vmem_bytes, plan_dyn_warp, warp_halo_rows,
+        warp_windowed, warp_windowed_dyn, window_reach)
 
     mi = cfg.iters_for_level(level_index)
     n_smooth = cfg.smooth_passes_for_level(level_index)
@@ -239,6 +240,9 @@ def _fused_level_body(left, right, disp0, *, cfg: MatcherConfig,
     consts = (cfg.conf_no_peak, cfg.conf_affine_scale,
               cfg.conf_affine_bias, cfg.conf_blend_new, cfg.conf_blend_old)
 
+    use_dyn = (cfg.warp_dynamic and cfg.warp_overflow_guard
+               and dyn_vmem_bytes(left.shape[-1]) <= DYN_VMEM_BUDGET)
+
     def body(carry, inputs):
         disp_h, disp_v, conf = carry
         m, threshold = inputs
@@ -250,15 +254,40 @@ def _fused_level_body(left, right, disp0, *, cfg: MatcherConfig,
                 global_h=true_h, method=cfg.interp)
 
         if cfg.warp_overflow_guard:
-            # the guard must see the GLOBAL maximum — another shard's
-            # overflow changes this shard's rows via the halo feedback
+            # every guard decision must be GLOBALLY uniform (pmax/pmin):
+            # the exact-warp fallback contains collectives, and a cond
+            # whose branches hold collectives deadlocks unless all shards
+            # take the same branch
             mv = lax.pmax(jnp.max(jnp.abs(disp_v)), axis_name)
             mh = lax.pmax(jnp.max(jnp.abs(disp_h)), axis_name)
             safe = (mv <= v_reach) & (mh <= h_reach)
-            warped = lax.cond(
-                safe, windowed,
-                lambda: _sharded_warp(right, disp_h, disp_v, axis_name,
-                                      true_h, cfg.interp))
+
+            def static_tier():
+                return lax.cond(
+                    safe, windowed,
+                    lambda: _sharded_warp(right, disp_h, disp_v, axis_name,
+                                          true_h, cfg.interp))
+
+            if use_dyn:
+                # dynamic windows on the local block: the plan confines
+                # every window to the exchanged halo, so the kernel stays
+                # collective-free; over-budget/over-halo fields tier down
+                # exactly as the unsharded engine does
+                voffs, okl = plan_dyn_warp(
+                    disp_h, disp_v, H=true_h, W=disp_h.shape[-1],
+                    method=cfg.interp, row0=row0, halo_rows=vh)
+                ok_all = lax.pmax(
+                    1 - okl.astype(jnp.int32), axis_name) == 0
+                warped = lax.cond(
+                    ok_all,
+                    lambda: warp_windowed_dyn(
+                        right_h, disp_h, disp_v, voffs,
+                        interpret=interpret, method=cfg.interp,
+                        row_halo=True, row0=row0, global_h=true_h,
+                        halo_rows=vh),
+                    static_tier)
+            else:
+                warped = static_tier()
         else:
             warped = windowed()
 
