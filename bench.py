@@ -68,8 +68,24 @@ def _probe_backend(timeout_s=None):
     import subprocess
 
     timeout_s = timeout_s or float(os.environ.get("BENCH_PROBE_TIMEOUT", 120))
-    probe = (
-        "import jax, jax.numpy as jnp\n"
+    # The probe must test the SAME backend the bench will use, with the
+    # same persistent compile cache — a bare `import jax` here would (a)
+    # initialise the axon relay even when BENCH_PLATFORM=cpu was
+    # requested (failing CPU-mesh scaling runs whenever the relay is
+    # down, the exact scenario the probe exists for), and (b) recompile
+    # its tiny program through the relay on every invocation (the cache
+    # is enabled via jax.config, not env).
+    platform = os.environ.get("BENCH_PLATFORM")
+    cache_dir = os.environ.get("JAX_CACHE_DIR",
+                               os.path.expanduser("~/.cache/ug_tpu_jax"))
+    probe = "import os, jax, jax.numpy as jnp\n"
+    if platform:
+        probe += f"jax.config.update('jax_platforms', {platform!r})\n"
+    probe += (
+        f"os.makedirs({cache_dir!r}, exist_ok=True)\n"
+        f"jax.config.update('jax_compilation_cache_dir', {cache_dir!r})\n"
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs',"
+        " 0.5)\n"
         "d = jax.devices()\n"
         "x = jax.jit(lambda a: a * 2.0)(jnp.ones((8, 128)))\n"
         "print('PROBE_OK', d[0])\n"
@@ -190,7 +206,7 @@ def _throughput(jax, h, w, repeats):
     from ug_stereomatcher_tpu import MatcherConfig, StereoEngine
     from ug_stereomatcher_tpu.parallel import make_mesh, mesh_shape_for
 
-    if (h, w) == (3264, 4928):  # default unset -> use a 1MP batch size
+    if "BENCH_H" not in os.environ:  # default unset -> use a 1MP batch size
         h, w = 815, 1231
     batch = int(os.environ.get("BENCH_BATCH", 8))
     n_dev = len(jax.devices())
@@ -235,7 +251,7 @@ def _scaling(jax, h, w, repeats):
     1-device point; on a pod slice it records the whole efficiency curve."""
     from ug_stereomatcher_tpu.parallel.throughput import measure_throughput
 
-    if (h, w) == (3264, 4928):
+    if "BENCH_H" not in os.environ:
         h, w = 408, 616   # scaling probe resolution (fovea-sized)
     points = measure_throughput(height=h, width=w, repeats=repeats)
     table = [{"devices": p.n_devices, "batch": p.batch,

@@ -318,6 +318,43 @@ class TestDynamicWarp:
         np.testing.assert_array_equal(out, ref)
 
     @pytest.mark.parametrize("method", ["nearest", "bilinear"])
+    def test_padded_tile_large_offset_engages_and_exact(self, method):
+        """Tile-pad rows (H % 64 != 0) carry zero disparity; they must be
+        excluded from BOTH the plan's span checks and the kernel's
+        per-block column-base decision.  Regression: with a large uniform
+        offset the pad pixels used to (a) flip the plan to not-ok
+        spuriously, and (b) — once the plan ignored them — pull the
+        kernel's block base away from the real field, zeroing real
+        outputs."""
+        from ug_stereomatcher_tpu.ops.pallas.warp import (
+            plan_dyn_warp, warp_windowed_dyn)
+        h, w = 100, 2048            # Hp = 128: 28 pad rows in the last tile
+        img = jnp.asarray(RNG.rand(3, h, w).astype(np.float32))
+        dh = jnp.full((h, w), 500.0, jnp.float32)
+        dv = jnp.full((h, w), -40.0, jnp.float32)
+        voffs, ok = plan_dyn_warp(dh, dv, H=h, W=w, method=method)
+        assert bool(ok)
+        out = np.asarray(warp_windowed_dyn(img, dh, dv, voffs,
+                                           interpret=True, method=method))
+        ref = np.asarray(ops.warp_by_disparity(img, dh, dv, method))
+        if method == "nearest":
+            np.testing.assert_array_equal(out, ref)
+        else:
+            np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+    def test_sharded_plan_ok_with_padded_tiles(self):
+        """Sharded shards whose hl % 64 != 0 must still engage the dyn
+        path for benign fields (regression: pad rows' raw coordinates
+        poisoned the halo containment check)."""
+        from ug_stereomatcher_tpu.ops.pallas.warp import plan_dyn_warp
+        for hl, vh, row0 in ((65, 8, 0), (408, 16, 408), (100, 24, 200)):
+            dh = jnp.zeros((hl, 256), jnp.float32)
+            dv = jnp.zeros((hl, 256), jnp.float32)
+            _, ok = plan_dyn_warp(dh, dv, H=1000, W=256, row0=row0,
+                                  halo_rows=vh)
+            assert bool(ok), (hl, vh, row0)
+
+    @pytest.mark.parametrize("method", ["nearest", "bilinear"])
     def test_row_halo_mode_matches_global_gather(self, method):
         """Sharded mode: a local row block with real halo rows + global
         row offset must produce exactly the matching row slice of the

@@ -8,7 +8,6 @@ Prints per-call ms and max|diff| vs the unfused XLA chain.
 
 import os
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 from bench import _setup_jax  # noqa: E402
@@ -16,7 +15,6 @@ from bench import _setup_jax  # noqa: E402
 jax = _setup_jax()
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
-from jax import lax  # noqa: E402
 
 from ug_stereomatcher_tpu.ops.pallas import direction as dmod  # noqa: E402
 
@@ -38,27 +36,15 @@ H, W = (int(sys.argv[1]), int(sys.argv[2])) if len(sys.argv) > 2 \
     else (3264, 4928)
 
 
-def sync(x):
-    return float(jnp.sum(x))
+from tools._timing import sync, timed as _timed, chained as _chained  # noqa: E402
 
 
 def timed(fn, *args):
-    fn_j = jax.jit(fn)
-    out = fn_j(*args)
-    sync(jax.tree_util.tree_leaves(out)[0])
-    best = 1e9
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        out = fn_j(*args)
-        sync(jax.tree_util.tree_leaves(out)[0])
-        best = min(best, time.perf_counter() - t0)
-    return best
+    return _timed(fn, *args, repeats=REPEATS)
 
 
 def chained(body, init, *consts):
-    def loop(x, *cs):
-        return lax.fori_loop(0, N, lambda i, c: body(c, *cs), x)
-    return timed(loop, init, *consts)
+    return _chained(body, init, *consts, n=N, repeats=REPEATS)
 
 
 def main():

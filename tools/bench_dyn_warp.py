@@ -3,7 +3,6 @@ chip at L0/L1/L2 sizes (chained fori_loop timing, floor-subtracted)."""
 
 import os
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 from bench import _setup_jax  # noqa: E402
@@ -11,7 +10,6 @@ from bench import _setup_jax  # noqa: E402
 jax = _setup_jax()
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
-from jax import lax  # noqa: E402
 
 from ug_stereomatcher_tpu import MatcherConfig  # noqa: E402
 from ug_stereomatcher_tpu import match as match_mod  # noqa: E402
@@ -22,27 +20,15 @@ cfg_dyn = MatcherConfig()
 cfg_static = MatcherConfig(warp_dynamic=False)
 
 
-def sync(x):
-    return float(jnp.sum(x))
+from tools._timing import sync, timed as _timed, chained as _chained  # noqa: E402
 
 
 def timed(fn, *args):
-    fn_j = jax.jit(fn)
-    out = fn_j(*args)
-    sync(jax.tree_util.tree_leaves(out)[0])
-    best = 1e9
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        out = fn_j(*args)
-        sync(jax.tree_util.tree_leaves(out)[0])
-        best = min(best, time.perf_counter() - t0)
-    return best
+    return _timed(fn, *args, repeats=REPEATS)
 
 
 def chained(body, init, *consts):
-    def loop(x, *cs):
-        return lax.fori_loop(0, N, lambda i, c: body(c, *cs), x)
-    return timed(loop, init, *consts)
+    return _chained(body, init, *consts, n=N, repeats=REPEATS)
 
 
 def main():

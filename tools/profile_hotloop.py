@@ -16,7 +16,6 @@ Usage:  python tools/profile_hotloop.py [H W] [LEVEL]
 """
 
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 from bench import _make_pair, _setup_jax  # noqa: E402
@@ -39,31 +38,15 @@ REPEATS = 3
 cfg = MatcherConfig()
 
 
-def sync(x):
-    return float(jnp.sum(x))
+from tools._timing import sync, timed as _timed, chained as _chained  # noqa: E402
 
 
 def timed(fn, *args):
-    fn_j = jax.jit(fn)
-    out = fn_j(*args)          # compile + warm
-    sync(jax.tree_util.tree_leaves(out)[0])
-    best = 1e9
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        out = fn_j(*args)
-        sync(jax.tree_util.tree_leaves(out)[0])
-        best = min(best, time.perf_counter() - t0)
-    return best
+    return _timed(fn, *args, repeats=REPEATS)
 
 
 def chained(body, init, *consts):
-    """Time N chained applications of body inside one jit.  Large arrays
-    MUST ride in via ``consts`` (jit args) — closure captures inline as
-    literals and the relay's compile endpoint rejects the program
-    (HTTP 413; CLAUDE.md)."""
-    def loop(x, *cs):
-        return lax.fori_loop(0, N, lambda i, c: body(c, *cs), x)
-    return timed(loop, init, *consts)
+    return _chained(body, init, *consts, n=N, repeats=REPEATS)
 
 
 def main():

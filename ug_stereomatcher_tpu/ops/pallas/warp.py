@@ -85,7 +85,7 @@ def window_reach(max_dy: int, max_dx: int) -> Tuple[float, float]:
 
 
 def sweep_nearest(buf, dvb, dhb, c0, lo, hi, out_row0, *, H, W, TH, VH,
-                  HBLK, voff=None, vcap=None, dyn_cols=0):
+                  HBLK, voff=None, vcap=None, dyn_cols=0, row_hi=None):
     """Banded one-hot nearest sweep for one 128-lane column block.
 
     Static mode (``voff is None``): buf is a VMEM ref whose row 0 holds
@@ -124,10 +124,24 @@ def sweep_nearest(buf, dvb, dhb, c0, lo, hi, out_row0, *, H, W, TH, VH,
         # window clamp to its edge (the documented contract) instead of
         # falling to the zero init
         ixb = jnp.clip(ixb, lo, hi + LANES - 1)
-    ixmin = jnp.min(ixb)
-    ixmax = jnp.max(ixb)
-    kmin = jnp.min(kb)
-    kmax = jnp.max(kb)
+    if dyn and row_hi is not None:
+        # exclude tile-pad rows (zero disparity, coords unrelated to the
+        # real field, outputs discarded) from the base/range decisions —
+        # the plan excludes them too, and a pad pixel pulling the block's
+        # column base away from the real field would break coverage
+        vmask = (rloc + out_row0) < row_hi
+        # substitute must itself be in the clip window (0 may not be,
+        # e.g. strictly-downward fields have voff < 0)
+        ksub = jnp.clip(jnp.int32(0), -voff_, vcap - TH - BAND - voff_)
+        ixmin = jnp.min(jnp.where(vmask, ixb, 2 ** 30))
+        ixmax = jnp.max(jnp.where(vmask, ixb, -1))
+        kmin = jnp.min(jnp.where(vmask, kb, ksub))
+        kmax = jnp.max(jnp.where(vmask, kb, ksub))
+    else:
+        ixmin = jnp.min(ixb)
+        ixmax = jnp.max(ixb)
+        kmin = jnp.min(kb)
+        kmax = jnp.max(kb)
     # band index of candidate kk is (kk + voff) // BAND
     bmin = (kmin + voff_) // BAND
     bmax = (kmax + voff_) // BAND
@@ -175,7 +189,7 @@ def sweep_nearest(buf, dvb, dhb, c0, lo, hi, out_row0, *, H, W, TH, VH,
 
 
 def sweep_bilinear(buf, dvb, dhb, c0, lo, hi, out_row0, *, H, W, TH, VH,
-                   HBLK, voff=None, vcap=None, dyn_cols=0):
+                   HBLK, voff=None, vcap=None, dyn_cols=0, row_hi=None):
     """Bilinear variant of :func:`sweep_nearest` (CUDA tex linear
     filtering: weights from coord-0.5, each of the 4 taps clamp-addressed).
     Four one-hot tap accumulators share the same band sweep; tap rows
@@ -209,12 +223,24 @@ def sweep_bilinear(buf, dvb, dhb, c0, lo, hi, out_row0, *, H, W, TH, VH,
         ix1 = jnp.clip(ix1, lo, hi + LANES - 1)
     kb0 = jnp.clip(iy0 - (out_row0 + rloc), klo, khi)
     kb1 = jnp.clip(iy1 - (out_row0 + rloc), klo, khi)
-    ixmin = jnp.min(ix0)
-    ixmax = jnp.max(ix1)
-    kmin0 = jnp.min(kb0)
-    kmax0 = jnp.max(kb0)
-    kmin1 = jnp.min(kb1)
-    kmax1 = jnp.max(kb1)
+    if dyn and row_hi is not None:
+        # tile-pad rows excluded from base/range decisions (see
+        # sweep_nearest); substitute must be inside the clip window
+        vmask = (rloc + out_row0) < row_hi
+        ksub = jnp.clip(jnp.int32(0), klo, khi)
+        ixmin = jnp.min(jnp.where(vmask, ix0, 2 ** 30))
+        ixmax = jnp.max(jnp.where(vmask, ix1, -1))
+        kmin0 = jnp.min(jnp.where(vmask, kb0, ksub))
+        kmax0 = jnp.max(jnp.where(vmask, kb0, ksub))
+        kmin1 = jnp.min(jnp.where(vmask, kb1, ksub))
+        kmax1 = jnp.max(jnp.where(vmask, kb1, ksub))
+    else:
+        ixmin = jnp.min(ix0)
+        ixmax = jnp.max(ix1)
+        kmin0 = jnp.min(kb0)
+        kmax0 = jnp.max(kb0)
+        kmin1 = jnp.min(kb1)
+        kmax1 = jnp.max(kb1)
     bmin = (kmin0 + voff_) // BAND
     bmax = (kmax1 + voff_) // BAND
     zero = jnp.zeros((TH, LANES), jnp.float32)
@@ -491,10 +517,16 @@ def plan_dyn_warp(disp_x: jnp.ndarray, disp_y: jnp.ndarray, H: int, W: int,
         raise ValueError(f"unknown warp method {method!r}")
     klo = iylo - rg
     khi = iyhi - rg
-    # pad rows sit below the block and clip to iy = H-1, driving k hugely
-    # negative — they are discarded by the output slice, so exclude them
-    # from the plan (the kernel's safety clips keep their reads in-bounds)
+    # Tile-pad rows (local rows >= Hl up to the TH multiple) and lane-pad
+    # columns (>= W) carry zero disparity and clip against the image
+    # edges, producing coordinates unrelated to the real field; their
+    # outputs are discarded by the final slice, and the kernel's safety
+    # clips keep their reads in-bounds — so exclude them from EVERY plan
+    # reduction (vertical spans, the sharded halo check, AND the
+    # per-block horizontal spans; leaving them in any one check silently
+    # disables the dynamic path for shapes with padded tiles).
     pad_row = r >= Hl
+    pad_any = pad_row | (c >= W)
     klo = jnp.where(pad_row, 0, klo)
     khi = jnp.where(pad_row, 0, khi)
     kmin = klo.reshape(ni, TH, Wp).min(axis=(1, 2))
@@ -504,26 +536,31 @@ def plan_dyn_warp(disp_x: jnp.ndarray, disp_y: jnp.ndarray, H: int, W: int,
     if sharded:
         # windows must stay inside the exchanged halo: buffer rows span
         # global [row0 - halo_rows, row0 + Hl + halo_rows)
-        iymin = jnp.where(pad_row, rg, iylo).reshape(ni, TH, Wp).min()
-        iymax = jnp.where(pad_row, rg, iyhi).reshape(ni, TH, Wp).max()
+        iymin = jnp.where(pad_row, r0g, iylo).reshape(ni, TH, Wp).min()
+        iymax = jnp.where(pad_row, r0g, iyhi).reshape(ni, TH, Wp).max()
         tile_r0 = jnp.arange(ni, dtype=jnp.int32) * TH
         ok_v = (ok_v
                 & (iymin >= r0g - halo_rows)
                 & (iymax <= r0g + Hl + halo_rows - 1)
                 # slab start must not run off the buffer top
                 & jnp.all(voffs <= tile_r0 + halo_rows))
-    ixmin = ixlo.reshape(ni, TH, ncb, LANES).min(axis=(1, 3))
-    ixmax = ixhi.reshape(ni, TH, ncb, LANES).max(axis=(1, 3))
+    big = jnp.int32(2 ** 30)
+    ixmin = (jnp.where(pad_any, big, ixlo)
+             .reshape(ni, TH, ncb, LANES).min(axis=(1, 3)))
+    ixmax = (jnp.where(pad_any, -1, ixhi)
+             .reshape(ni, TH, ncb, LANES).max(axis=(1, 3)))
     # exact coverage criterion: the kernel bases its NB blocks at
-    # align128(min ix), so the last covered column is that + NB*128 - 1
+    # align128(min ix), so the last covered column is that + NB*128 - 1.
+    # A (tile, block) whose lanes are ALL pad keeps (big, -1) and passes
+    # vacuously — its outputs are discarded either way.
     ok_h = jnp.all(ixmax - jnp.floor_divide(ixmin, LANES) * LANES
                    <= NB * LANES - 1)
     return voffs, ok_v & ok_h
 
 
 def _warp_kernel_dyn(imgp_ref, dh_ref, dv_ref, voff_ref, row0_ref, out_ref,
-                     bufs, sems, *, H, W, Wp, TH, PT, CR, NB, n_cblk, ni,
-                     nsteps, bilinear):
+                     bufs, sems, *, H, W, Hl, Wp, TH, PT, CR, NB, n_cblk,
+                     ni, nsteps, bilinear):
     g = pl.program_id(0)        # flattened (channel, row-tile) step
     i = g % ni
     r0 = i * TH
@@ -563,7 +600,7 @@ def _warp_kernel_dyn(imgp_ref, dh_ref, dv_ref, voff_ref, row0_ref, out_ref,
         out_ref[0, :, pl.ds(c0, LANES)] = sweep(
             bufs.at[slot], dvb, dhb, c0, 0, 0, r0 + row0,
             H=H, W=W, TH=TH, VH=0, HBLK=0, voff=voff, vcap=CR,
-            dyn_cols=NB)
+            dyn_cols=NB, row_hi=row0 + Hl)
         return carry
 
     jax.lax.fori_loop(0, n_cblk, col_block, 0)
@@ -635,8 +672,8 @@ def warp_windowed_dyn(img: jnp.ndarray, disp_x: jnp.ndarray,
     voffs2 = jnp.asarray(voffs, jnp.int32).reshape(1, ni)
 
     kernel = functools.partial(
-        _warp_kernel_dyn, H=H, W=W, Wp=Wp, TH=TH, PT=PT, CR=CR, NB=NB,
-        n_cblk=n_cblk, ni=ni, nsteps=C * ni,
+        _warp_kernel_dyn, H=H, W=W, Hl=Hl, Wp=Wp, TH=TH, PT=PT, CR=CR,
+        NB=NB, n_cblk=n_cblk, ni=ni, nsteps=C * ni,
         bilinear=(method == "bilinear"))
     out = pl.pallas_call(
         kernel,
