@@ -6,8 +6,10 @@ prints one JSON line per metric, ending with the primary one:
   1. foveated   — 16MP mode-2 foveated stack latency (ref: 3 s/pair)
   2. throughput — batched pairs/s at a 1MP working resolution (ref scaled
                   from 10 s/pair at 16MP)
-  3. mode1      — 16MP full-pyramid disparity latency (ref: 10 s/pair);
-                  printed LAST with the other two results embedded in
+  3. foveated_throughput — batched mode-2 pairs/s at 1MP (ref scaled from
+                  3 s/pair at 16MP; the reference's throughput mode)
+  4. mode1      — 16MP full-pyramid disparity latency (ref: 10 s/pair);
+                  printed LAST with the other results embedded in
                   "extra" so a last-line parser still captures everything.
 
 vs_baseline > 1 means faster than the reference CUDA matcher
@@ -15,9 +17,13 @@ vs_baseline > 1 means faster than the reference CUDA matcher
 
 Env overrides: BENCH_H, BENCH_W (default 3264 x 4928 — the Glasgow rig
 resolution, calibrations/calL.xml), BENCH_REPEATS (default 3),
-BENCH_MODE ("all" | "mode1" | "foveated" | "throughput" | "scaling"),
+BENCH_MODE ("all" | "mode1" | "foveated" | "throughput" |
+"foveated_throughput" | "scaling"),
 BENCH_BATCH (throughput mode batch size, default 8),
-BENCH_PROBE_TIMEOUT (fail-fast backend probe budget, seconds, default 120).
+BENCH_PROBE_INIT_TIMEOUT (dead-relay detector: backend-init budget, seconds,
+default 300; BENCH_PROBE_TIMEOUT is honored as a legacy alias),
+BENCH_PROBE_JIT_TIMEOUT (cold-cache tolerance: tiny-jit compile budget,
+seconds, default 900).
 """
 
 import json
@@ -55,19 +61,40 @@ def _setup_jax():
     return jax
 
 
-def _probe_backend(timeout_s=None):
-    """Fail-fast backend probe: initialise the backend + run one tiny jit in
-    a watchdog subprocess.  When the TPU relay is dead, raw backend init can
-    hang for ~25 minutes per attempt (BENCH_r02.json recorded rc=124 with no
-    structured output); this bounds the damage to BENCH_PROBE_TIMEOUT seconds
-    and lets main() emit one parseable ``bench_env_FAILED`` line instead.
+def _probe_backend():
+    """Fail-fast backend probe, STAGED so a dead relay and a cold compile
+    cache produce distinct diagnostics (and distinct budgets):
 
-    Runs in a subprocess because a hung in-process backend init cannot be
-    interrupted portably; the parent stays clean either way.
+    * Stage 1 — ``relay_dead`` detector: backend init only
+      (``jax.devices()``, no compile).  When the TPU relay tunnel has died,
+      init hangs indefinitely (~25 min per attempt was observed in round 2,
+      rc=124 with no structured output); when the relay is alive, init
+      completes in seconds-to-a-couple-minutes.  Budget:
+      BENCH_PROBE_INIT_TIMEOUT (default 300 s).
+    * Stage 2 — ``cold_cache`` tolerance: one tiny jit through the same
+      persistent compile cache the bench uses.  A first compile of a new
+      program through the relay takes minutes (round-1 bench measured a
+      398 s first compile), so this stage gets a generous budget:
+      BENCH_PROBE_JIT_TIMEOUT (default 900 s).  A timeout here means the
+      relay answered init but compiles are not landing (stalled relay) or
+      are extraordinarily slow — the diagnostic says which stage died and
+      how long init took, so a driver log can tell the cases apart.
+
+    Each stage runs in a watchdog subprocess because a hung in-process
+    backend init cannot be interrupted portably; the parent stays clean.
+    Returns None when healthy, else an error string prefixed with the
+    failure class (``relay_dead:`` / ``cold_cache_or_stall:`` /
+    ``probe_error:``).
     """
     import subprocess
 
-    timeout_s = timeout_s or float(os.environ.get("BENCH_PROBE_TIMEOUT", 120))
+    init_s = float(os.environ.get("BENCH_PROBE_INIT_TIMEOUT", 300))
+    jit_s = float(os.environ.get("BENCH_PROBE_JIT_TIMEOUT", 900))
+    # legacy knob: if BENCH_PROBE_TIMEOUT is set, it caps stage 1 only
+    # (kept so existing driver configs still bound the dead-relay hang).
+    if "BENCH_PROBE_TIMEOUT" in os.environ:
+        init_s = float(os.environ["BENCH_PROBE_TIMEOUT"])
+
     # The probe must test the SAME backend the bench will use, with the
     # same persistent compile cache — a bare `import jax` here would (a)
     # initialise the axon relay even when BENCH_PLATFORM=cpu was
@@ -78,26 +105,61 @@ def _probe_backend(timeout_s=None):
     platform = os.environ.get("BENCH_PLATFORM")
     cache_dir = os.environ.get("JAX_CACHE_DIR",
                                os.path.expanduser("~/.cache/ug_tpu_jax"))
-    probe = "import os, jax, jax.numpy as jnp\n"
+    prelude = "import os, time, jax\n"
     if platform:
-        probe += f"jax.config.update('jax_platforms', {platform!r})\n"
-    probe += (
+        prelude += f"jax.config.update('jax_platforms', {platform!r})\n"
+    prelude += (
         f"os.makedirs({cache_dir!r}, exist_ok=True)\n"
         f"jax.config.update('jax_compilation_cache_dir', {cache_dir!r})\n"
         "jax.config.update('jax_persistent_cache_min_compile_time_secs',"
         " 0.5)\n"
+    )
+
+    def run_stage(body, timeout):
+        try:
+            r = subprocess.run([sys.executable, "-c", prelude + body],
+                               capture_output=True, text=True,
+                               timeout=timeout)
+        except subprocess.TimeoutExpired:
+            return None, "timeout"
+        if r.returncode != 0 or "STAGE_OK" not in r.stdout:
+            tail = (r.stderr or r.stdout).strip().splitlines()[-3:]
+            return None, "error: " + " | ".join(tail)
+        for line in r.stdout.splitlines():
+            if line.startswith("STAGE_OK"):
+                return line.split(None, 1)[1], None
+        return "", None
+
+    t0 = time.perf_counter()
+    out, err = run_stage(
+        "t0=time.time()\n"
+        "d = jax.devices()\n"
+        "print('STAGE_OK', f'{d[0]} init={time.time()-t0:.1f}s')\n",
+        init_s)
+    init_took = time.perf_counter() - t0
+    if err == "timeout":
+        return (f"relay_dead: backend init did not complete within "
+                f"{init_s:.0f}s (no device handshake — the TPU relay "
+                f"tunnel is down or unreachable)")
+    if err:
+        return f"probe_error: backend init failed: {err}"
+
+    t0 = time.perf_counter()
+    _, err = run_stage(
+        "import jax.numpy as jnp\n"
         "d = jax.devices()\n"
         "x = jax.jit(lambda a: a * 2.0)(jnp.ones((8, 128)))\n"
-        "print('PROBE_OK', d[0])\n"
-    )
-    try:
-        r = subprocess.run([sys.executable, "-c", probe],
-                           capture_output=True, text=True, timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        return f"backend probe timed out after {timeout_s:.0f}s"
-    if r.returncode != 0 or "PROBE_OK" not in r.stdout:
-        tail = (r.stderr or r.stdout).strip().splitlines()[-3:]
-        return "backend probe failed: " + " | ".join(tail)
+        "float(x.sum())\n"
+        "print('STAGE_OK', 'jit')\n",
+        jit_s)
+    if err == "timeout":
+        return (f"cold_cache_or_stall: backend init OK in {init_took:.0f}s "
+                f"({out}) but a tiny jit did not complete within "
+                f"{jit_s:.0f}s — relay stalled mid-compile, or compiles "
+                f"are slower than the probe budget (raise "
+                f"BENCH_PROBE_JIT_TIMEOUT)")
+    if err:
+        return f"probe_error: tiny jit failed: {err}"
     return None
 
 
@@ -198,9 +260,11 @@ def _latency(jax, mode, h, w, repeats):
     }
 
 
-def _throughput(jax, h, w, repeats):
+def _throughput(jax, h, w, repeats, foveated=False):
     """Batched pairs/s on the available devices (Glasgow-database-style
-    throughput; defaults to a 1MP working resolution)."""
+    throughput; defaults to a 1MP working resolution).  ``foveated=True``
+    benches mode 2 — the reference's throughput configuration (3 s/pair at
+    16MP vs 10 s for mode 1, /root/reference/README.md:16)."""
     import jax.numpy as jnp
 
     from ug_stereomatcher_tpu import MatcherConfig, StereoEngine
@@ -220,19 +284,21 @@ def _throughput(jax, h, w, repeats):
 
     def once():
         t0 = time.perf_counter()
-        res = eng.match_batch(lb, rb, mesh)
-        float(jnp.sum(res.disparity_h))
+        res = eng.match_batch(lb, rb, mesh, foveated=foveated)
+        float(jnp.sum(res.disparity_h if not foveated else res.stack_h))
         return time.perf_counter() - t0
 
     compile_s = once()
     times = [once() for _ in range(repeats)]
     sec = min(times)
-    # reference throughput at this resolution: 10 s/pair at 16MP scales
-    # ~linearly with pixels
-    ref_pps = 1.0 / (10.0 * (h * w) / (3264 * 4928))
+    # reference throughput at this resolution: s/pair at 16MP scales
+    # ~linearly with pixels (3 s for mode 2, 10 s for mode 1)
+    base_s = 3.0 if foveated else 10.0
+    ref_pps = 1.0 / (base_s * (h * w) / (3264 * 4928))
     pps = batch / sec
+    tag = "foveated_throughput" if foveated else "batched_throughput"
     return {
-        "metric": f"batched_throughput_{h}x{w}",
+        "metric": f"{tag}_{h}x{w}",
         "value": round(pps, 3),
         "unit": "pairs/s",
         "vs_baseline": round(pps / ref_pps, 3),
@@ -284,6 +350,9 @@ def main():
     if mode == "throughput":
         print(json.dumps(_throughput(jax, h, w, repeats)))
         return
+    if mode == "foveated_throughput":
+        print(json.dumps(_throughput(jax, h, w, repeats, foveated=True)))
+        return
     if mode == "scaling":
         print(json.dumps(_scaling(jax, h, w, repeats)))
         return
@@ -297,7 +366,10 @@ def main():
     side = {}
     for name, fn in (("foveated", lambda: _latency(jax, "foveated", h, w,
                                                    repeats)),
-                     ("throughput", lambda: _throughput(jax, h, w, repeats))):
+                     ("throughput", lambda: _throughput(jax, h, w, repeats)),
+                     ("foveated_throughput",
+                      lambda: _throughput(jax, h, w, repeats,
+                                          foveated=True))):
         try:
             r = fn()
             side[name] = {k: r[k] for k in

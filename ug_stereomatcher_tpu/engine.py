@@ -58,11 +58,11 @@ class FoveatedStackResult:
     """Foveated disparity stack (mode 2) — the analog of the foveatedstack
     messages on output_stackH/V/C (+ left/right pyramid stacks) with the
     metadata of msg/foveatedstack.msg:7-21."""
-    stack_h: jnp.ndarray       # (num_levels * roi_height, roi_width)
-    stack_v: jnp.ndarray
+    stack_h: jnp.ndarray       # (num_levels * roi_height, roi_width);
+    stack_v: jnp.ndarray       # batched results carry a leading (B,) axis
     stack_c: jnp.ndarray
-    stack_left: jnp.ndarray    # (num_levels * 3 * roi_height, roi_width)
-    stack_right: jnp.ndarray
+    stack_left: Optional[jnp.ndarray]   # (num_levels*3*roi_height, roi_width)
+    stack_right: Optional[jnp.ndarray]  # None for batched (match_batch) runs
     im_width: int
     im_height: int
     roi_width: int
@@ -70,17 +70,23 @@ class FoveatedStackResult:
     num_levels: int
 
     def level_disparity(self, level: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """Un-stack one level's (disp_h, disp_v, confidence)."""
+        """Un-stack one level's (disp_h, disp_v, confidence); slices the
+        row axis, so batched stacks keep their leading batch axis."""
         h = self.roi_height
         sl = slice(level * h, (level + 1) * h)
-        return self.stack_h[sl], self.stack_v[sl], self.stack_c[sl]
+        return (self.stack_h[..., sl, :], self.stack_v[..., sl, :],
+                self.stack_c[..., sl, :])
 
     def level_image(self, level: int, side: str = "left") -> jnp.ndarray:
         """Un-stack one level's (3, roi_height, roi_width) image."""
         h = self.roi_height
         stack = self.stack_left if side == "left" else self.stack_right
+        if stack is None:
+            raise ValueError("image stacks are not produced by batched "
+                             "(match_batch) foveated runs")
         base = level * 3 * h
-        chans = [stack[base + c * h: base + (c + 1) * h] for c in range(3)]
+        chans = [stack[..., base + c * h: base + (c + 1) * h, :]
+                 for c in range(3)]
         return jnp.stack(chans)
 
 
@@ -283,11 +289,15 @@ class StereoEngine:
         return pyr.hierarchical_disparity(res.levels, cfg, (height, width))
 
     # ------------------------------------------------------------------
-    def match_batch(self, left_batch, right_batch, mesh=None) -> MatchResult:
-        """Match a batch of pairs at once (vmapped, optionally sharded over
-        a mesh's 'pairs' axis — see parallel.batch_match).  Inputs:
-        (B, H, W, 3) or (B, 3, H, W); returns a MatchResult whose planes
-        carry a leading batch axis."""
+    def match_batch(self, left_batch, right_batch, mesh=None,
+                    foveated: bool = False):
+        """Match a batch of pairs at once (optionally sharded over a mesh's
+        'pairs' axis — see parallel.batch_match).  Inputs: (B, H, W, 3) or
+        (B, 3, H, W).  Returns a MatchResult whose planes carry a leading
+        batch axis, or — with ``foveated=True`` (mode 2, the reference's
+        throughput configuration, /root/reference/README.md:16) — a
+        FoveatedStackResult whose disparity stacks carry a leading batch
+        axis (image stacks are not materialised in batch mode)."""
         from ug_stereomatcher_tpu.parallel.batch import make_batch_matcher
         lb = jnp.asarray(left_batch)
         rb = jnp.asarray(right_batch)
@@ -304,18 +314,29 @@ class StereoEngine:
                 f"batch shapes differ: {lb.shape} vs {rb.shape}")
         lb = lb.astype(self._dtype())
         rb = rb.astype(self._dtype())
+        h, w = lb.shape[-2:]
+        if foveated:
+            _check_fovea(self.config, h, w)
         # cache the jitted batch pipeline per (shape, mesh) like the other
         # entry points — re-tracing 14 pyramid levels per call costs minutes
         # on cold backends
         mesh_key = (tuple(mesh.shape.items()),
                     tuple(d.id for d in mesh.devices.flat)) if mesh else None
         fn = self._jitted(
-            ("batch", lb.shape, self.config, mesh_key),
-            lambda: make_batch_matcher(self.config, lb.shape[-2],
-                                       lb.shape[-1], mesh))
+            ("batch", lb.shape, self.config, mesh_key, foveated),
+            lambda: make_batch_matcher(self.config, h, w, mesh,
+                                       foveated=foveated))
         t0 = time.perf_counter()
         out = fn(lb, rb)
         self._record("match_batch", t0, sync_on=out[:, 2])
+        if foveated:
+            fov_h, fov_w = self.config.fovea_dims(h, w)
+            return FoveatedStackResult(
+                stack_h=out[:, 0], stack_v=out[:, 1], stack_c=out[:, 2],
+                stack_left=None, stack_right=None,
+                im_width=w, im_height=h,
+                roi_width=fov_w, roi_height=fov_h,
+                num_levels=self.config.fovea_level)
         return MatchResult(out[:, 0], out[:, 1], out[:, 2])
 
     def profile_match(self, left, right) -> Tuple[MatchResult, Dict]:

@@ -40,15 +40,41 @@ def _single_pair(left, right, cfg: MatcherConfig, height: int, width: int):
     return res.levels[0]
 
 
+def _stack_fovea_levels(levels, k: int):
+    """Level-major vertical stack of the k fovea-sized (…, 3, fh, fw)
+    planes — the per-pair analog of the node's output_stackH/V/C layout
+    (UG_GPU_matcher.cpp:203-213), kept as one (…, 3, k*fh, fw) triplet."""
+    return jnp.concatenate([levels[i] for i in range(k)], axis=-2)
+
+
+def _single_pair_foveated(left, right, cfg: MatcherConfig, height: int,
+                          width: int):
+    """Mode-2 (foveated) single-pair body: returns the stacked per-level
+    disparity triplet (3, fovea_level*fh, fw).  Reference path:
+    matchStackPyramid (MatchGPULib.cpp:534) — the throughput mode
+    (3 s vs 10 s per 16MP pair, /root/reference/README.md:16)."""
+    n = cfg.num_levels(height, width)
+    lp, rp = pyr.build_pyramid_pair(left, right, cfg, n)
+    lf = pyr.foveate_pyramid(lp, cfg, (height, width))
+    rf = pyr.foveate_pyramid(rp, cfg, (height, width))
+    res = match_mod.match_pyramid(lf, rf, cfg, (height, width),
+                                  foveated=True)
+    return _stack_fovea_levels(res.levels, cfg.fovea_level)
+
+
 def make_batch_matcher(cfg: MatcherConfig, height: int, width: int,
-                       mesh: Optional[Mesh] = None):
-    """Build a reusable jitted batch matcher: (B,3,H,W) x2 -> (B,3,H,W).
+                       mesh: Optional[Mesh] = None,
+                       foveated: bool = False):
+    """Build a reusable jitted batch matcher: (B,3,H,W) x2 -> (B,3,H,W)
+    (mode 1), or -> (B,3,fovea_level*fh,fw) stacked fovea triplets with
+    ``foveated=True`` (mode 2 — the reference's throughput configuration).
 
     Build it once and call it per batch — a fresh jax.jit wrapper per call
     would re-trace the whole pyramid each time.  With a mesh, the batch
     axis shards over 'pairs' (batches that don't divide the axis are padded
     with the last pair and sliced back)."""
-    single = partial(_single_pair, cfg=cfg, height=height, width=width)
+    single = partial(_single_pair_foveated if foveated else _single_pair,
+                     cfg=cfg, height=height, width=width)
 
     def local_map(lb, rb):
         return lax.map(lambda pair: single(pair[0], pair[1]), (lb, rb))
@@ -65,7 +91,8 @@ def make_batch_matcher(cfg: MatcherConfig, height: int, width: int,
         # pairs-axis size by ONE cached jitted step (a host loop, not an
         # unrolled mega-graph — the relay's compile endpoint rejects big
         # programs).
-        return _make_hybrid_matcher(cfg, height, width, mesh)
+        return _make_hybrid_matcher(cfg, height, width, mesh,
+                                    foveated=foveated)
 
     n_pairs = mesh.shape["pairs"]
     spec = P("pairs")
@@ -90,13 +117,15 @@ def make_batch_matcher(cfg: MatcherConfig, height: int, width: int,
 
 def _make_hybrid_matcher(cfg: MatcherConfig, height: int, width: int,
                          mesh: Mesh, interpret: bool = False,
-                         use_fused=None):
+                         use_fused=None, foveated: bool = False):
     """DP x SP batch matcher for a (pairs, rows) mesh with rows > 1.
 
     One jitted step matches ``pairs_ax`` pairs at once, each row-sharded
     over its rows-group via sharded_match_pair(pairs_axis='pairs'); a host
     loop walks the batch in pairs_ax-sized chunks (padding the last chunk
-    with its final pair) and reuses the single compiled step."""
+    with its final pair) and reuses the single compiled step.  With
+    ``foveated=True`` each pair yields the stacked fovea triplet instead
+    of the full-resolution level-0 map."""
     from ug_stereomatcher_tpu.parallel.spatial import sharded_match_pair
 
     p = mesh.shape["pairs"]
@@ -104,7 +133,10 @@ def _make_hybrid_matcher(cfg: MatcherConfig, height: int, width: int,
     @jax.jit
     def step(lb, rb):
         res = sharded_match_pair(lb, rb, cfg, mesh, pairs_axis="pairs",
-                                 interpret=interpret, use_fused=use_fused)
+                                 interpret=interpret, use_fused=use_fused,
+                                 foveated=foveated)
+        if foveated:
+            return _stack_fovea_levels(res.levels, cfg.fovea_level)
         return res.levels[0]
 
     def fn(lb, rb):
@@ -127,14 +159,15 @@ def _make_hybrid_matcher(cfg: MatcherConfig, height: int, width: int,
 
 
 def batch_match(left_batch, right_batch, cfg: Optional[MatcherConfig] = None,
-                mesh: Optional[Mesh] = None):
+                mesh: Optional[Mesh] = None, foveated: bool = False):
     """Match a batch of pairs, sharded over the mesh 'pairs' axis.
 
     left_batch/right_batch: (B, 3, H, W) float arrays.
-    Returns (B, 3, H, W) disparity triplets.  One-shot convenience —
+    Returns (B, 3, H, W) disparity triplets, or (B, 3, fovea_level*fh, fw)
+    stacked fovea triplets with ``foveated=True``.  One-shot convenience —
     long-lived callers should hold a make_batch_matcher (or use
     StereoEngine.match_batch, which caches per shape)."""
     cfg = cfg or MatcherConfig()
     b, _, h, w = left_batch.shape
-    fn = make_batch_matcher(cfg, h, w, mesh)
+    fn = make_batch_matcher(cfg, h, w, mesh, foveated=foveated)
     return fn(jnp.asarray(left_batch), jnp.asarray(right_batch))
