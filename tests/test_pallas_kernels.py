@@ -433,6 +433,102 @@ class TestDynamicWarp:
         np.testing.assert_array_equal(out, ref)
 
 
+class TestWarpTierObservability:
+    """warp_for_level(with_tier=True) must report the SAME branch the
+    tiered dispatch executed (VERDICT r3 item 6: the exactness fallbacks'
+    cost must be visible, not silent inside jit)."""
+
+    def _tier(self, dh, dv, cfg=None, level=0):
+        from ug_stereomatcher_tpu.config import MatcherConfig
+        cfg = cfg or MatcherConfig()
+        h, w = dh.shape
+        img = jnp.asarray(RNG.rand(3, h, w).astype(np.float32))
+        out, tier = match_mod.warp_for_level(img, dh, dv, cfg, level,
+                                             interpret=True, with_tier=True)
+        # the tier code never changes the warp itself
+        ref = np.asarray(ops.warp_by_disparity(img, dh, dv, cfg.interp))
+        np.testing.assert_array_equal(np.asarray(out), ref)
+        return int(tier)
+
+    def test_smooth_field_reports_dyn(self):
+        h, w = 128, 256
+        z = jnp.zeros((h, w), jnp.float32)
+        dv = jnp.asarray(np.full((h, w), 3.25, np.float32))
+        assert self._tier(z, dv) == match_mod.TIER_DYN
+
+    def test_spread_overflow_reports_static(self):
+        """Per-tile spread beyond dyn capacity, absolute offsets within
+        the static window -> static tier."""
+        h, w = 256, 256
+        dv = TestDynamicWarp._two_sided_dv(h, w, 80.0)
+        dh = jnp.zeros((h, w), jnp.float32)
+        assert self._tier(dh, dv) == match_mod.TIER_STATIC
+
+    def test_double_overflow_reports_exact(self):
+        """Spread beyond dyn capacity AND absolute offsets beyond the
+        static reach -> exact-gather tier."""
+        h, w = 512, 256
+        dv = TestDynamicWarp._two_sided_dv(h, w, 200.0)
+        dh = jnp.zeros((h, w), jnp.float32)
+        assert self._tier(dh, dv) == match_mod.TIER_EXACT
+
+    def test_dynamic_off_reports_static(self):
+        from ug_stereomatcher_tpu.config import MatcherConfig
+        h, w = 128, 256
+        z = jnp.zeros((h, w), jnp.float32)
+        cfg = MatcherConfig(warp_dynamic=False)
+        assert self._tier(z, z, cfg=cfg) == match_mod.TIER_STATIC
+
+    def test_engine_metrics_count_iterations(self):
+        """StereoEngine(instrument_tiers=True) surfaces per-level counts in
+        metrics['warp_tiers']; on the CPU dispatch gate every iteration is
+        the default XLA gather and the totals equal the iteration
+        schedule.  The instrumented result is identical to the plain one."""
+        from ug_stereomatcher_tpu import MatcherConfig, StereoEngine
+        img = (RNG.rand(96, 128, 3) * 255).astype(np.uint8)
+        right = np.roll(img, 2, axis=1)
+        eng = StereoEngine(MatcherConfig(), instrument_tiers=True)
+        res = eng.match(img, right)
+        tiers = eng.metrics["warp_tiers"]
+        cfg = eng.config
+        n = cfg.num_levels(96, 128)
+        assert len(tiers) == n
+        for i in range(n):
+            row = tiers[f"level_{i:02d}"]
+            assert sum(row[k] for k in ("dyn", "static_windowed",
+                                        "exact_gather", "xla_default")
+                       ) == cfg.iters_for_level(i)
+            assert row["xla_default"] == cfg.iters_for_level(i)
+        plain = StereoEngine(MatcherConfig()).match(img, right)
+        np.testing.assert_array_equal(np.asarray(res.disparity_h),
+                                      np.asarray(plain.disparity_h))
+
+    def test_level_resident_overflow_recompute_counted(self):
+        """An out-of-window scene through the level-resident kernel must
+        count one overflow recompute and report the scan path's tiers."""
+        from ug_stereomatcher_tpu.config import MatcherConfig
+        cfg = MatcherConfig(level_backend="interpret", warp_backend="xla")
+        h, w = 24, 64
+        rng = np.random.RandomState(3)
+        left = jnp.asarray(rng.rand(3, h, w).astype(np.float32))
+        # a right image shifted far beyond the coarse window's reach makes
+        # the refined field's magnitude irrelevant — instead, seed the
+        # initial disparity beyond the window reach so iteration 0's warp
+        # overflows deterministically
+        dy, dx = cfg.warp_window_for_level(9)
+        from ug_stereomatcher_tpu.ops.pallas.warp import window_reach
+        v_reach, _ = window_reach(dy, dx)
+        disp = jnp.zeros((3, h, w), jnp.float32).at[1].set(v_reach + 40.0)
+        out, counts = match_mod.match_level(left, left, disp, 9, cfg,
+                                            is_coarsest=True,
+                                            instrument=True)
+        counts = np.asarray(counts)
+        assert counts[5] == 1, counts          # overflow_recompute
+        assert counts[4] == 0, counts          # resident iters discarded
+        # recompute ran the scan path (warp_backend=xla -> default tier)
+        assert counts[3] == cfg.iters_for_level(9), counts
+
+
 class TestSmoothKernel:
     @pytest.mark.parametrize("n", [1, 5])
     def test_matches_xla_chain(self, n):

@@ -153,16 +153,38 @@ class StereoEngine:
       recorded time is true completion latency, not dispatch time
       (``block_until_ready`` is unreliable on relayed backends); off by
       default to keep the hot path free of host round-trips.
+    * ``instrument_tiers=True`` threads per-iteration warp-tier counters
+      through ``match``/``match_foveated`` and stores them at
+      ``metrics["warp_tiers"]`` after each call: per level, how many
+      iterations the dynamic / static windowed / exact-gather / XLA warp
+      ran, plus level-resident iteration and overflow-recompute counts —
+      making the exactness fallbacks' cost visible instead of switching
+      silently inside jit (warpAbyB contract, MatchLib.cu:499-549).  Adds
+      the tier predicates to the graph and a small host readback per call,
+      so it is opt-in; results are numerically identical.
     """
 
     def __init__(self, config: Optional[MatcherConfig] = None,
-                 sync_timing: bool = False):
+                 sync_timing: bool = False,
+                 instrument_tiers: bool = False):
         _ensure_compile_cache()
         self.config = config or MatcherConfig()
         self.sync_timing = sync_timing
+        self.instrument_tiers = instrument_tiers
         self._cache: Dict[Tuple, object] = {}
         self.timings = Timings()
         self.metrics: Dict[str, object] = {}
+
+    # ------------------------------------------------------------------
+    def _record_tiers(self, counts) -> None:
+        """Store per-level tier counters (tuple of (6,) int32 device
+        arrays, index 0 = finest) as a readable metrics dict."""
+        from ug_stereomatcher_tpu.match import TIER_NAMES
+        tiers = {}
+        for i, c in enumerate(counts):
+            vals = np.asarray(c).tolist()
+            tiers[f"level_{i:02d}"] = dict(zip(TIER_NAMES, vals))
+        self.metrics["warp_tiers"] = tiers
 
     # ------------------------------------------------------------------
     def _record(self, name: str, t0: float, sync_on=None) -> None:
@@ -200,7 +222,11 @@ class StereoEngine:
         fn = self._jitted(("match", h, w, cfg), lambda: jax.jit(
             partial(self._match_impl, height=h, width=w)))
         t0 = time.perf_counter()
-        trip = fn(left, right)
+        if self.instrument_tiers:
+            trip, counts = fn(left, right)
+            self._record_tiers(counts)
+        else:
+            trip = fn(left, right)
         self._record("match", t0, sync_on=trip[2])
         return MatchResult(trip[0], trip[1], trip[2])
 
@@ -209,7 +235,10 @@ class StereoEngine:
         n = cfg.num_levels(height, width)
         lp, rp = pyr.build_pyramid_pair(left, right, cfg, n)
         res = match_mod.match_pyramid(lp, rp, cfg, (height, width),
-                                      foveated=False)
+                                      foveated=False,
+                                      instrument=self.instrument_tiers)
+        if self.instrument_tiers:
+            return res.levels[0], res.tier_counts
         return res.levels[0]
 
     # ------------------------------------------------------------------
@@ -230,7 +259,11 @@ class StereoEngine:
         fn = self._jitted(("fov", h, w, cfg), lambda: jax.jit(
             partial(self._match_foveated_impl, height=h, width=w)))
         t0 = time.perf_counter()
-        stack_h, stack_v, stack_c, stack_l, stack_r = fn(left, right)
+        out = fn(left, right)
+        if self.instrument_tiers:
+            out, counts = out
+            self._record_tiers(counts)
+        stack_h, stack_v, stack_c, stack_l, stack_r = out
         self._record("match_foveated", t0, sync_on=stack_c)
         return FoveatedStackResult(
             stack_h=stack_h, stack_v=stack_v, stack_c=stack_c,
@@ -246,7 +279,8 @@ class StereoEngine:
         lf = pyr.foveate_pyramid(lp, cfg, (height, width))
         rf = pyr.foveate_pyramid(rp, cfg, (height, width))
         res = match_mod.match_pyramid(lf, rf, cfg, (height, width),
-                                      foveated=True)
+                                      foveated=True,
+                                      instrument=self.instrument_tiers)
         k = cfg.fovea_level
         # Disparity stacks: level-major vertical stack of fovea-sized planes.
         stack_h = jnp.concatenate([res.levels[i][0] for i in range(k)], axis=0)
@@ -258,7 +292,10 @@ class StereoEngine:
             [lf[i].reshape(-1, lf[i].shape[-1]) for i in range(k)], axis=0)
         stack_r = jnp.concatenate(
             [rf[i].reshape(-1, rf[i].shape[-1]) for i in range(k)], axis=0)
-        return stack_h, stack_v, stack_c, stack_l, stack_r
+        out = (stack_h, stack_v, stack_c, stack_l, stack_r)
+        if self.instrument_tiers:
+            return out, res.tier_counts
+        return out
 
     # ------------------------------------------------------------------
     def match_hierarchical(self, left, right) -> MatchResult:

@@ -15,7 +15,7 @@ the two disparity up-sampling paths.
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Sequence, Tuple
+from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -87,8 +87,21 @@ def _use_pallas_warp(cfg: MatcherConfig, height: int, width: int) -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+# Warp-tier codes (instrumentation): which engine actually produced a
+# given warp.  Surfaced per level through StereoEngine(instrument_tiers=
+# True).metrics so the exactness fallbacks' cost is observable in
+# production instead of switching silently inside jit.
+TIER_DYN = 0             # dynamic windowed kernel (field-following slabs)
+TIER_STATIC = 1          # static windowed kernel (absolute-reach bounded)
+TIER_EXACT = 2           # exact unbounded XLA gather (overflow fallback)
+TIER_XLA_DEFAULT = 3     # XLA gather by dispatch gate (CPU / small level)
+TIER_NAMES = ("dyn", "static_windowed", "exact_gather", "xla_default",
+              "level_resident_iters", "overflow_recompute")
+
+
 def warp_for_level(right, disp_h, disp_v, cfg: MatcherConfig,
-                   level_index: int, interpret: bool = False):
+                   level_index: int, interpret: bool = False,
+                   with_tier: bool = False):
     """Windowed Pallas warp with the overflow guard.
 
     The windowed kernel clamps gather offsets beyond its search window —
@@ -98,7 +111,13 @@ def warp_for_level(right, disp_h, disp_v, cfg: MatcherConfig,
     cheap max-reduction per call checks the live disparity field against
     the window's exact reach and a ``lax.cond`` falls back to the exact
     XLA gather whenever any offset would clamp, so the auto path is exact
-    for *all* scenes and fast for in-window ones."""
+    for *all* scenes and fast for in-window ones.
+
+    ``with_tier=True`` additionally returns the int32 TIER_* code of the
+    branch the tiered dispatch took (computed from the same ``ok``/``safe``
+    predicates the conds switch on, so it cannot desynchronise from the
+    dispatch).  Instrumentation only — it adds the static guard's two max
+    reductions to the dynamic path, so the serving path leaves it off."""
     from ug_stereomatcher_tpu.ops.pallas.warp import (
         DYN_VMEM_BUDGET, dyn_vmem_bytes, plan_dyn_warp, warp_windowed,
         warp_windowed_dyn, window_reach)
@@ -110,14 +129,17 @@ def warp_for_level(right, disp_h, disp_v, cfg: MatcherConfig,
                              max_dy=dy, max_dx=dx,
                              interpret=interpret, method=cfg.interp)
 
+    def static_safe():
+        """Absolute-reach predicate of the static windowed kernel."""
+        v_reach, h_reach = window_reach(dy, dx)
+        return ((jnp.max(jnp.abs(disp_v)) <= v_reach)
+                & (jnp.max(jnp.abs(disp_h)) <= h_reach))
+
     def static_guarded():
         """Static windowed kernel behind its absolute-reach guard (the
         round-1/2 contract: exact in-window, exact gather beyond)."""
-        v_reach, h_reach = window_reach(dy, dx)
-        safe = ((jnp.max(jnp.abs(disp_v)) <= v_reach)
-                & (jnp.max(jnp.abs(disp_h)) <= h_reach))
         return jax.lax.cond(
-            safe, windowed,
+            static_safe(), windowed,
             lambda: warp_by_disparity(right, disp_h, disp_v, cfg.interp))
 
     if (cfg.warp_dynamic and cfg.warp_overflow_guard
@@ -132,23 +154,38 @@ def warp_for_level(right, disp_h, disp_v, cfg: MatcherConfig,
         # both contracts pays for the exact unbounded gather.
         voffs, ok = plan_dyn_warp(disp_h, disp_v, H=H, W=W,
                                   method=cfg.interp)
-        return jax.lax.cond(
+        out = jax.lax.cond(
             ok,
             lambda: warp_windowed_dyn(right, disp_h, disp_v, voffs,
                                       interpret=interpret,
                                       method=cfg.interp),
             static_guarded)
+        if with_tier:
+            tier = jnp.where(ok, TIER_DYN,
+                             jnp.where(static_safe(), TIER_STATIC,
+                                       TIER_EXACT)).astype(jnp.int32)
+            return out, tier
+        return out
 
     if not cfg.warp_overflow_guard:
-        return windowed()
-    return static_guarded()
+        out = windowed()
+        return (out, jnp.int32(TIER_STATIC)) if with_tier else out
+    out = static_guarded()
+    if with_tier:
+        tier = jnp.where(static_safe(), TIER_STATIC,
+                         TIER_EXACT).astype(jnp.int32)
+        return out, tier
+    return out
 
 
-def _warp(right, disp_h, disp_v, cfg: MatcherConfig, level_index: int):
+def _warp(right, disp_h, disp_v, cfg: MatcherConfig, level_index: int,
+          with_tier: bool = False):
     h, w = right.shape[-2:]
     if _use_pallas_warp(cfg, h, w):
-        return warp_for_level(right, disp_h, disp_v, cfg, level_index)
-    return warp_by_disparity(right, disp_h, disp_v, cfg.interp)
+        return warp_for_level(right, disp_h, disp_v, cfg, level_index,
+                              with_tier=with_tier)
+    out = warp_by_disparity(right, disp_h, disp_v, cfg.interp)
+    return (out, jnp.int32(TIER_XLA_DEFAULT)) if with_tier else out
 
 
 
@@ -179,7 +216,7 @@ def direction_maps(left: jnp.ndarray, warped: jnp.ndarray,
 
 def match_level(left: jnp.ndarray, right: jnp.ndarray, disp: jnp.ndarray,
                 level_index: int, cfg: MatcherConfig,
-                is_coarsest: bool) -> jnp.ndarray:
+                is_coarsest: bool, instrument: bool = False) -> jnp.ndarray:
     """Iteratively refine the disparity triplet at one pyramid level.
 
     left, right: (C, H, W) images at this level.
@@ -190,7 +227,11 @@ def match_level(left: jnp.ndarray, right: jnp.ndarray, disp: jnp.ndarray,
     is_coarsest: the confidence blend is skipped on the very first iteration
     of the coarsest level (MatchGPULib.cpp:2223-2225).
 
-    Returns the refined (3, H, W) triplet.
+    Returns the refined (3, H, W) triplet; with ``instrument=True``,
+    ``(triplet, counts)`` where counts is a (6,) int32 vector indexed by
+    TIER_NAMES — per-iteration warp-tier decisions plus level-resident
+    iteration and overflow-recompute counters.  The instrumented graph is
+    numerically identical; it only adds the tier predicates and counters.
     """
     mi = cfg.iters_for_level(level_index)
     n_smooth = cfg.smooth_passes_for_level(level_index)
@@ -198,7 +239,8 @@ def match_level(left: jnp.ndarray, right: jnp.ndarray, disp: jnp.ndarray,
 
     def scan_path():
         return _match_level_scan(left, right, disp, level_index, cfg,
-                                 is_coarsest, mi, n_smooth, thresholds)
+                                 is_coarsest, mi, n_smooth, thresholds,
+                                 instrument=instrument)
 
     if _use_level_resident(cfg, left.shape[0], left.shape[-2],
                            left.shape[-1], level_index):
@@ -214,17 +256,30 @@ def match_level(left: jnp.ndarray, right: jnp.ndarray, disp: jnp.ndarray,
             method=cfg.interp,
             interpret=(cfg.level_backend == "interpret"))
         if not cfg.warp_overflow_guard:
+            if instrument:
+                counts = jnp.zeros(6, jnp.int32).at[4].set(mi)
+                return state, counts
             return state
         # Same auto-exactness contract as warp_for_level: if any
         # iteration's field exceeded the window's exact reach the kernel's
         # clamped result may diverge from the unbounded gather — recompute
         # the whole level on the exact path.
+        if instrument:
+            def recompute():
+                s, c = scan_path()
+                return s, c.at[5].set(1)  # overflow_recompute
+
+            def resident():
+                return state, jnp.zeros(6, jnp.int32).at[4].set(mi)
+
+            return jax.lax.cond(ovf > 0.0, recompute, resident)
         return jax.lax.cond(ovf > 0.0, scan_path, lambda: state)
     return scan_path()
 
 
 def _match_level_scan(left, right, disp, level_index, cfg: MatcherConfig,
-                      is_coarsest, mi, n_smooth, thresholds) -> jnp.ndarray:
+                      is_coarsest, mi, n_smooth, thresholds,
+                      instrument: bool = False) -> jnp.ndarray:
     """The lax.scan level loop (one fused XLA/Pallas-stencil iteration per
     step) — the exact path `match_level` scans when the level-resident
     kernel is gated off or its overflow guard fires."""
@@ -239,10 +294,19 @@ def _match_level_scan(left, right, disp, level_index, cfg: MatcherConfig,
     use_pallas = _use_pallas_stencil(cfg, left.shape[-2], left.shape[-1])
 
     def body(carry, inputs):
-        disp_h, disp_v, conf = carry
+        if instrument:
+            disp_h, disp_v, conf, counts = carry
+        else:
+            disp_h, disp_v, conf = carry
+            counts = None
         m, threshold = inputs
 
-        warped = _warp(right, disp_h, disp_v, cfg, level_index)
+        if instrument:
+            warped, tier = _warp(right, disp_h, disp_v, cfg, level_index,
+                                 with_tier=True)
+            counts = counts.at[tier].add(1)
+        else:
+            warped = _warp(right, disp_h, disp_v, cfg, level_index)
 
         if use_pallas:
             # One fused kernel: correlate -> parabola -> update -> blend
@@ -292,18 +356,30 @@ def _match_level_scan(left, right, disp, level_index, cfg: MatcherConfig,
             for _ in range(n_smooth):
                 state = weighted_smooth(state, state[2])
             state = blur_average_clamp(state)
+        if instrument:
+            return (state[0], state[1], state[2], counts), None
         return (state[0], state[1], state[2]), None
 
-    init = (disp[0], disp[1], disp[2])
     ms = jnp.arange(mi)
+    if instrument:
+        init = (disp[0], disp[1], disp[2], jnp.zeros(6, jnp.int32))
+        (disp_h, disp_v, conf, counts), _ = jax.lax.scan(
+            body, init, (ms, thresholds))
+        return jnp.stack([disp_h, disp_v, conf]), counts
+    init = (disp[0], disp[1], disp[2])
     (disp_h, disp_v, conf), _ = jax.lax.scan(body, init, (ms, thresholds))
     return jnp.stack([disp_h, disp_v, conf])
 
 
 
 class PyramidMatchResult(NamedTuple):
-    """Per-level disparity triplets, index 0 = finest level processed."""
+    """Per-level disparity triplets, index 0 = finest level processed.
+
+    ``tier_counts`` (instrumented runs only): per-level (6,) int32 vectors
+    indexed by TIER_NAMES — warp-tier decisions, level-resident iterations,
+    overflow recomputes."""
     levels: Tuple[jnp.ndarray, ...]
+    tier_counts: Optional[Tuple[jnp.ndarray, ...]] = None
 
 
 def level_dims_for_matching(cfg: MatcherConfig, height: int, width: int,
@@ -324,7 +400,8 @@ def match_pyramid(left_levels: Sequence[jnp.ndarray],
                   right_levels: Sequence[jnp.ndarray],
                   cfg: MatcherConfig,
                   full_dims: Tuple[int, int],
-                  foveated: bool = False) -> PyramidMatchResult:
+                  foveated: bool = False,
+                  instrument: bool = False) -> PyramidMatchResult:
     """Coarse-to-fine driver over a (possibly foveated) pyramid.
 
     left_levels/right_levels: per-level (C, h, w) images, index 0 = finest.
@@ -341,12 +418,15 @@ def match_pyramid(left_levels: Sequence[jnp.ndarray],
     full_chain = cfg.dims_chain(height, width)
 
     results: List[jnp.ndarray] = [None] * n  # type: ignore[list-item]
+    counts: List[jnp.ndarray] = [None] * n  # type: ignore[list-item]
     h, w = dims[n - 1]
     disp = jnp.zeros((3, h, w), dtype=left_levels[0].dtype)
 
     for i in range(n - 1, -1, -1):
-        disp = match_level(left_levels[i], right_levels[i], disp, i,
-                           cfg, is_coarsest=(i == n - 1))
+        out = match_level(left_levels[i], right_levels[i], disp, i,
+                          cfg, is_coarsest=(i == n - 1),
+                          instrument=instrument)
+        disp, counts[i] = out if instrument else (out, None)
         results[i] = disp
         if i > 0:
             if (not foveated) or i >= cfg.fovea_level:
@@ -359,4 +439,6 @@ def match_pyramid(left_levels: Sequence[jnp.ndarray],
                 big_h, big_w = full_chain[cfg.fovea_level - 2]
                 disp = pyr.foveated_upsample(disp, big_h, big_w, cfg)
 
-    return PyramidMatchResult(levels=tuple(results))
+    return PyramidMatchResult(
+        levels=tuple(results),
+        tier_counts=tuple(counts) if instrument else None)

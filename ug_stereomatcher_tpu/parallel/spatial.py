@@ -713,12 +713,28 @@ def sharded_resample(x: jnp.ndarray, out_h: int, out_w: int, coord_of,
         else:
             xe = xw
             base_k = 0
-        g = jnp.take(xe, iy0v - base_k, axis=-2)
+        # Height pass as a selection MATMUL, not a row gather: the
+        # per-shard indices are traced (selected by axis_index), and
+        # traced-index gathers are the op class whose ~10 ns/element cost
+        # motivated the single-device MXU one-hot resampler
+        # (ops/pallas/resample.py; docs/PERF.md "selection IS a matmul").
+        # A broadcast compare builds the per-shard one-hot (nearest) /
+        # two-hot (bilinear, CUDA linear-filter weights) row-selection
+        # matrix from those indices with pure vector ops, and the MXU
+        # contracts it against the shard block.  One-hot f32 matmuls at
+        # precision=HIGHEST are bit-exact (verified on-chip for the
+        # single-device kernel), so nearest stays bit-identical to the
+        # unsharded takes; bilinear matches to float rounding, as before.
+        src = jnp.arange(xe.shape[-2], dtype=jnp.int32)
+        sel = ((iy0v - base_k)[:, None] == src[None, :]).astype(xe.dtype)
         if wym is not None:
             iy1v = jnp.asarray(iy1m)[k]
-            g1 = jnp.take(xe, iy1v - base_k, axis=-2)
             wv = jnp.asarray(wym)[k][:, None]
-            g = g * (1.0 - wv) + g1 * wv
+            sel1 = ((iy1v - base_k)[:, None]
+                    == src[None, :]).astype(xe.dtype)
+            sel = sel * (1.0 - wv) + sel1 * wv
+        g = jnp.einsum("oi,...iw->...ow", sel, xe,
+                       precision=lax.Precision.HIGHEST)
         return g if value_scale == 1.0 else value_scale * g
 
     in_spec = _spec_for(x.ndim, axis_name if in_sharded else None,
