@@ -53,8 +53,14 @@ def _setup_jax():
         jax.config.update("jax_platforms", platform)
     # Persistent compile cache: the pyramid engine jits one scan per level;
     # cache across processes so re-running the bench skips recompilation.
+    # CPU runs get their OWN subdir: XLA:CPU cache entries are AOT machine
+    # code keyed without host CPU features — sharing a dir across machines
+    # (or with TPU-era pollution) risks SIGILL loads (engine.py
+    # _ensure_compile_cache rationale).
     cache_dir = os.environ.get("JAX_CACHE_DIR",
                                os.path.expanduser("~/.cache/ug_tpu_jax"))
+    if platform == "cpu":
+        cache_dir = os.path.join(cache_dir, "cpu")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -105,6 +111,8 @@ def _probe_backend():
     platform = os.environ.get("BENCH_PLATFORM")
     cache_dir = os.environ.get("JAX_CACHE_DIR",
                                os.path.expanduser("~/.cache/ug_tpu_jax"))
+    if platform == "cpu":   # same per-platform split as _setup_jax
+        cache_dir = os.path.join(cache_dir, "cpu")
     prelude = "import os, time, jax\n"
     if platform:
         prelude += f"jax.config.update('jax_platforms', {platform!r})\n"
@@ -311,25 +319,46 @@ def _throughput(jax, h, w, repeats, foveated=False):
 
 
 def _scaling(jax, h, w, repeats):
-    """DP scaling table via parallel.throughput.measure_throughput across
+    """Scaling tables via parallel.throughput.measure_throughput across
     1..N available devices (SURVEY.md §6 'frames/s efficiency at 1 chip /
-    1 host / N hosts').  On the single-chip dev rig this records the
-    1-device point; on a pod slice it records the whole efficiency curve."""
+    1 host / N hosts') — three mesh families per run: 'dp' (pairs-only
+    throughput), 'sp' (one pair row-sharded, latency scaling), 'hybrid'
+    (pairs=2 x rows, the batch<devices pod shape).  Each point carries an
+    ``oversubscribed`` flag (devices > physical cores) so virtual-CPU-mesh
+    curves stay diagnostic: the headline value is the DP efficiency at the
+    LARGEST non-oversubscribed device count (on a real pod slice nothing
+    is oversubscribed and that is simply the max).  Narrow with
+    BENCH_SCALING_MODES=dp,sp,hybrid."""
     from ug_stereomatcher_tpu.parallel.throughput import measure_throughput
 
     if "BENCH_H" not in os.environ:
         h, w = 408, 616   # scaling probe resolution (fovea-sized)
-    points = measure_throughput(height=h, width=w, repeats=repeats)
-    table = [{"devices": p.n_devices, "batch": p.batch,
-              "pairs_per_s": p.pairs_per_second,
-              "efficiency": p.scaling_efficiency} for p in points]
-    last = points[-1]
+    modes = os.environ.get("BENCH_SCALING_MODES", "dp,sp,hybrid").split(",")
+    curves = {}
+    dp_points = None
+    for mode in (m.strip() for m in modes if m.strip()):
+        points = measure_throughput(height=h, width=w, repeats=repeats,
+                                    mode=mode)
+        curves[mode] = [{"devices": p.n_devices, "mesh": list(p.mesh_shape),
+                         "batch": p.batch,
+                         "pairs_per_s": p.pairs_per_second,
+                         "seconds_per_batch": p.seconds_per_batch,
+                         "efficiency": p.scaling_efficiency,
+                         "oversubscribed": p.oversubscribed}
+                        for p in points]
+        if mode == "dp":
+            dp_points = points
+    head = dp_points or points
+    diag = [p for p in head if not p.oversubscribed] or list(head)
+    best = diag[-1]
     return {
-        "metric": f"dp_scaling_{h}x{w}",
-        "value": last.scaling_efficiency,
-        "unit": "efficiency_at_max_devices",
-        "vs_baseline": last.scaling_efficiency,  # ref has no multi-device
-        "extra": {"points": table, "devices": len(jax.devices()),
+        "metric": f"mesh_scaling_{h}x{w}",
+        "value": best.scaling_efficiency,
+        "unit": "dp_efficiency_at_max_diagnostic_devices",
+        "vs_baseline": best.scaling_efficiency,  # ref has no multi-device
+        "extra": {"curves": curves, "devices": len(jax.devices()),
+                  "physical_cores": os.cpu_count(),
+                  "headline_devices": best.n_devices,
                   "device": str(jax.devices()[0])},
     }
 

@@ -87,3 +87,65 @@ class TestThroughput:
         assert pts[0].pairs_per_second > 0
         # efficiency is relative to the first point
         assert pts[0].scaling_efficiency == 1.0
+        assert pts[-1].mesh_shape == (n, 1)
+
+    def test_sp_mode_row_shards_one_pair(self):
+        """'sp' points keep batch=1 and put every device on the rows axis
+        (latency scaling of a single row-sharded pair)."""
+        import jax
+        from ug_stereomatcher_tpu.parallel import measure_throughput
+        n = min(4, len(jax.devices()))
+        pts = measure_throughput(height=96, width=64,
+                                 device_counts=[1, n], repeats=1,
+                                 mode="sp")
+        assert [p.batch for p in pts] == [1, 1]
+        assert pts[-1].mesh_shape == (1, n)
+        assert pts[-1].pairs_per_second > 0
+
+    def test_hybrid_mode_mesh_shape(self):
+        import jax
+        from ug_stereomatcher_tpu.parallel import measure_throughput
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        pts = measure_throughput(height=96, width=64,
+                                 device_counts=[4], repeats=1,
+                                 mode="hybrid")
+        assert pts[0].mesh_shape == (2, 2)
+        assert pts[0].batch == 2
+
+    def test_hybrid_agrees_with_padded_dp_when_batch_lt_devices(self):
+        """batch=2 on a 4-device mesh: the pairs-only matcher pads the
+        batch to the axis size and slices back, the hybrid matcher
+        row-shards each pair across its rows-group — two entirely
+        different partitionings of the same work that must produce the
+        same disparities (VERDICT r3 item 5; SURVEY.md §2.5 DP x SP
+        composition).  The relative TIMING of the two layouts is a
+        hardware property, not a correctness one — on this rig's virtual
+        CPU mesh shard_map halo overhead beats any SP gain at every size
+        measured (docs/PERF.md 'mesh-family scaling'), so the timing is
+        recorded by BENCH_MODE=scaling, not asserted here."""
+        import jax
+        import jax.numpy as jnp
+        from ug_stereomatcher_tpu.parallel.batch import make_batch_matcher
+        from ug_stereomatcher_tpu.parallel.mesh import make_mesh
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        cfg = MatcherConfig()
+        h, w = 128, 160
+        rng = np.random.RandomState(0)
+        # smooth scene: free-running outputs are chaotic under raw noise
+        # (nearest warp flips gather indices on float fuzz — CLAUDE.md),
+        # so cross-path comparisons use smooth inputs + quantile gates
+        base = rng.rand(2, 3, h // 8, w // 8).astype(np.float32) * 255
+        lb = jnp.asarray(np.kron(base, np.ones((1, 1, 8, 8), np.float32)))
+        rb = jnp.roll(lb, 2, axis=-1)
+        devs = jax.devices()[:4]
+
+        dp = make_batch_matcher(cfg, h, w, make_mesh(4, 1, devices=devs))
+        hyb = make_batch_matcher(cfg, h, w, make_mesh(2, 2, devices=devs))
+        out_dp = np.asarray(dp(lb, rb))
+        out_hyb = np.asarray(hyb(lb, rb))
+        assert out_dp.shape == out_hyb.shape == (2, 3, h, w)
+        d = np.abs(out_hyb - out_dp)
+        assert np.median(d) < 0.05, np.median(d)
+        assert (d > 0.5).mean() < 0.05, (d > 0.5).mean()

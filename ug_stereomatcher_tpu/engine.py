@@ -96,11 +96,26 @@ def _ensure_compile_cache() -> None:
     On relayed TPU backends a first compile takes minutes; the cache makes
     it once-per-machine (the dev-rig rule bench.py already follows).
     Honors an existing user setting; UG_JAX_CACHE_DIR overrides the
-    default path (set it empty to disable)."""
+    default path (set it empty to disable).
+
+    CPU backends are deliberately NOT auto-cached: CPU compiles are fast,
+    and XLA:CPU persists AOT machine code whose cache key does not include
+    the host's CPU features — an entry written on one machine can be
+    loaded on another and die with SIGILL (cpu_aot_loader 'machine
+    features don't match' — observed on this rig with the shared bench
+    cache; the round-3 review's order-dependent test failure had the same
+    root).  Set UG_JAX_CACHE_DIR explicitly to opt a CPU run in."""
     if getattr(jax.config, "jax_compilation_cache_dir", None):
         return
-    cache = os.environ.get("UG_JAX_CACHE_DIR",
-                           os.path.expanduser("~/.cache/ug_tpu_jax"))
+    explicit = os.environ.get("UG_JAX_CACHE_DIR")
+    if explicit is None:
+        try:
+            if jax.default_backend() == "cpu":
+                return
+        except Exception:
+            return  # backend init failed; a cache would not help
+    cache = (explicit if explicit is not None
+             else os.path.expanduser("~/.cache/ug_tpu_jax"))
     if not cache:
         return
     try:

@@ -126,11 +126,17 @@ def _make_hybrid_matcher(cfg: MatcherConfig, height: int, width: int,
     with its final pair) and reuses the single compiled step.  With
     ``foveated=True`` each pair yields the stacked fovea triplet instead
     of the full-resolution level-0 map."""
+    from jax.sharding import NamedSharding
     from ug_stereomatcher_tpu.parallel.spatial import sharded_match_pair
 
     p = mesh.shape["pairs"]
+    # Pin the step's input layout to the shard_map body's consumption spec
+    # (pair per pairs-group, rows split over the rows-group) — without it
+    # GSPMD batch-shards the (p,3,H,W) chunk over ALL devices and pays an
+    # involuntary full rematerialisation resharding it on entry.
+    in_shard = NamedSharding(mesh, P("pairs", None, "rows", None))
 
-    @jax.jit
+    @partial(jax.jit, in_shardings=(in_shard, in_shard))
     def step(lb, rb):
         res = sharded_match_pair(lb, rb, cfg, mesh, pairs_axis="pairs",
                                  interpret=interpret, use_fused=use_fused,
