@@ -63,7 +63,23 @@ def _setup_jax():
         cache_dir = os.path.join(cache_dir, "cpu")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # 0.2 not 0.5: a straggler program compiling in 0.49s re-missed every
+    # run (measured round 4) — each miss costs a relay roundtrip, the
+    # entry costs nothing
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    # Pallas programs embed their Mosaic module as a serialized payload
+    # whose source locations survive the cache key's strip-debuginfo pass
+    # — without this, ANY line shift anywhere in the traced call path
+    # (even a comment) silently invalidates every kernel-bearing cache
+    # entry and the bench pays minutes of relay recompiles (root-caused
+    # round 4: one blank line in engine.py flipped the 16MP program key).
+    # Dropping traceback frames from locations makes keys line-shift
+    # invariant and shrinks the 16MP program by ~15% (relay HTTP-413
+    # headroom).
+    try:
+        jax.config.update("jax_traceback_in_locations_limit", 0)
+    except Exception:
+        pass  # older/newer jax without the flag: cache is merely fragile
     return jax
 
 
@@ -120,7 +136,9 @@ def _probe_backend():
         f"os.makedirs({cache_dir!r}, exist_ok=True)\n"
         f"jax.config.update('jax_compilation_cache_dir', {cache_dir!r})\n"
         "jax.config.update('jax_persistent_cache_min_compile_time_secs',"
-        " 0.5)\n"
+        " 0.2)\n"
+        "try: jax.config.update('jax_traceback_in_locations_limit', 0)\n"
+        "except Exception: pass\n"
     )
 
     def run_stage(body, timeout):

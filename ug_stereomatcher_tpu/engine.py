@@ -122,6 +122,11 @@ def _ensure_compile_cache() -> None:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # Pallas programs embed Mosaic payloads whose source locations
+        # survive the cache key's strip-debuginfo pass; without this, any
+        # line shift in the traced call path invalidates every
+        # kernel-bearing entry (bench.py _setup_jax rationale).
+        jax.config.update("jax_traceback_in_locations_limit", 0)
     except Exception:
         pass  # the cache is an optimization; never block engine startup
 
