@@ -208,3 +208,91 @@ class TestFoveated:
         res = eng.match_hierarchical(np.moveaxis(left, 0, -1),
                                      np.moveaxis(right, 0, -1))
         assert res.disparity_h.shape == (h, w)
+
+
+class TestEarlyExit:
+    """Opt-in convergence early exit (cfg.early_exit_delta) — the
+    reference's dormant differenceIterations machinery
+    (MatchGPULib.cpp:1323-1437) driving the level loop.  Parity default
+    (None) is untouched; thr=0.0 runs the full schedule through the
+    identical body (delta >= 0 always holds) — but XLA may fuse across
+    while_loop differently than across scan (~1 ulp), and gather flips
+    amplify that chaotically across a pyramid, so full-pipeline
+    comparisons use the suite's quantile gates."""
+
+    def test_threshold_zero_matches_parity(self):
+        import dataclasses
+        h, w = 96, 128
+        left, right = synthetic_pair(h, w, shift_x=2)
+        cfg = MatcherConfig(fovea_level=3)
+        n = cfg.num_levels(h, w)
+        lp = pyr.build_pyramid(jnp.asarray(left), cfg, n)
+        rp = pyr.build_pyramid(jnp.asarray(right), cfg, n)
+        ref = match_mod.match_pyramid(lp, rp, cfg, (h, w))
+        cfg0 = dataclasses.replace(cfg, early_exit_delta=0.0)
+        out = match_mod.match_pyramid(lp, rp, cfg0, (h, w))
+        d = np.abs(np.asarray(out.levels[0]) - np.asarray(ref.levels[0]))
+        assert np.median(d) < 1e-5, np.median(d)
+        assert (d > 0.5).mean() < 0.02, (d > 0.5).mean()
+
+    def test_early_exit_still_recovers_shift(self):
+        import dataclasses
+        h, w = 96, 128
+        left, right = synthetic_pair(h, w, shift_x=2)
+        cfg = dataclasses.replace(MatcherConfig(fovea_level=3),
+                                  early_exit_delta=0.02)
+        n = cfg.num_levels(h, w)
+        lp = pyr.build_pyramid(jnp.asarray(left), cfg, n)
+        rp = pyr.build_pyramid(jnp.asarray(right), cfg, n)
+        out = match_mod.match_pyramid(lp, rp, cfg, (h, w))
+        med = float(np.median(np.asarray(out.levels[0])[0, 12:-12, 12:-12]))
+        assert 1.5 < med < 2.5, med
+
+    def test_convergence_trace_matches_scan_bitwise(self):
+        """level_convergence_trace runs the IDENTICAL body as the serving
+        scan — outputs must agree bit-for-bit, and the (mi, 2) deltas are
+        finite and nonnegative."""
+        h, w = 64, 96
+        left, right = synthetic_pair(h, w, shift_x=1)
+        cfg = MatcherConfig(fovea_level=3)
+        n = cfg.num_levels(h, w)
+        lp = pyr.build_pyramid(jnp.asarray(left), cfg, n)
+        rp = pyr.build_pyramid(jnp.asarray(right), cfg, n)
+        dims = match_mod.level_dims_for_matching(cfg, h, w, n, False)
+        hh, ww = dims[n - 1]
+        disp = jnp.zeros((3, hh, ww), jnp.float32)
+        t_out, deltas = match_mod.level_convergence_trace(
+            lp[n - 1], rp[n - 1], disp, n - 1, cfg, True)
+        s_out = match_mod.match_level(lp[n - 1], rp[n - 1], disp, n - 1,
+                                      cfg, True)
+        np.testing.assert_array_equal(np.asarray(t_out), np.asarray(s_out))
+        d = np.asarray(deltas)
+        assert d.shape == (cfg.iters_for_level(n - 1), 2)
+        assert np.all(np.isfinite(d)) and np.all(d >= 0)
+
+    def test_large_threshold_runs_one_iteration_per_level(self):
+        """delta is initialised to +inf so at least one iteration always
+        runs; a huge threshold then exits immediately — equivalent to a
+        single-iteration schedule."""
+        import dataclasses
+        h, w = 64, 96
+        left, right = synthetic_pair(h, w, shift_x=1)
+        cfg = MatcherConfig(fovea_level=3)
+        n = cfg.num_levels(h, w)
+        lp = pyr.build_pyramid(jnp.asarray(left), cfg, n)
+        rp = pyr.build_pyramid(jnp.asarray(right), cfg, n)
+        dims = match_mod.level_dims_for_matching(cfg, h, w, n, False)
+        hh, ww = dims[n - 1]
+        disp = jnp.zeros((3, hh, ww), jnp.float32)
+        cfg_big = dataclasses.replace(cfg, early_exit_delta=1e9)
+        out = match_mod.match_level(lp[n - 1], rp[n - 1], disp, n - 1,
+                                    cfg_big, True)
+        # one full-schedule iteration, manually
+        mi = cfg.iters_for_level(n - 1)
+        thr = jnp.asarray(cfg.threshold_schedule(mi), jnp.float32)
+        one = match_mod._match_level_scan(
+            lp[n - 1], rp[n - 1], disp, n - 1, cfg, True, 1,
+            cfg.smooth_passes_for_level(n - 1), thr[:1])
+        # while vs scan fusion differs at the ulp level (see class doc)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(one),
+                                   atol=1e-5)

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -95,6 +95,16 @@ class MatcherConfig:
     level_cutoff: int = 22           # MatchGPULib.cpp:37 (levelcutoff)
     coarse_min_index: int = 6        # levels with pyramid index > 5 get
                                      # level_cutoff iterations (MatchGPULib.cpp:1741)
+    # Opt-in convergence early exit (NON-parity: the reference always runs
+    # the full schedule, but ships the dormant machinery for this —
+    # weightedDifference + differenceIterations, MatchGPULib.cpp:1323-1437).
+    # When set, the scan-tier level loop becomes a lax.while_loop that
+    # stops once an iteration's confidence-weighted mean |disparity
+    # change| drops below this value on BOTH axes.  Levels served by the
+    # level-resident kernel (coarse, ~0-1 ms each) keep their fixed
+    # schedule — there is nothing worth exiting early there.  Typical
+    # useful range 1e-3..1e-2 px; None = parity.
+    early_exit_delta: Optional[float] = None
     smooth_passes: int = 5           # MatchGPULib.cpp:38 (smoothtime)
     smooth_passes_fine: int = 10     # MatchGPULib.cpp:2259-2261 (level>11 → 10)
     fine_smooth_levels: int = 2      # pyramid indices i<2 use smooth_passes_fine

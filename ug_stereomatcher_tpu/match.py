@@ -277,22 +277,14 @@ def match_level(left: jnp.ndarray, right: jnp.ndarray, disp: jnp.ndarray,
     return scan_path()
 
 
-def _match_level_scan(left, right, disp, level_index, cfg: MatcherConfig,
-                      is_coarsest, mi, n_smooth, thresholds,
-                      instrument: bool = False) -> jnp.ndarray:
-    """The lax.scan level loop (one fused XLA/Pallas-stencil iteration per
-    step) — the exact path `match_level` scans when the level-resident
-    kernel is gated off or its overflow guard fires."""
-    # Iteration-invariant: blurred left energy (the reference recomputes this
-    # every iteration/channel — MatchGPULib.cpp:1809-1880 — pure waste).
-    from ug_stereomatcher_tpu.ops.pallas.blur import fused_blur_gaussian
-    if _use_pallas_stencil(cfg, left.shape[-2], left.shape[-1]):
-        blurred_l2 = fused_blur_gaussian(left * left, boundary="clamp")
-    else:
-        blurred_l2 = blur_gaussian_clamp(left * left)
-
-    use_pallas = _use_pallas_stencil(cfg, left.shape[-2], left.shape[-1])
-
+def _make_level_body(left, right, blurred_l2, cfg: MatcherConfig,
+                     level_index, is_coarsest, n_smooth, use_pallas,
+                     instrument: bool):
+    """One refinement iteration as a scan/while-compatible body closure:
+    ``body(carry, (m, threshold))`` with carry (disp_h, disp_v, conf[,
+    counts]).  Shared by the lax.scan loop, the early-exit while_loop and
+    the convergence trace so all three run the IDENTICAL per-iteration
+    graph (reference matchlevel body, MatchGPULib.cpp:1743-2412)."""
     def body(carry, inputs):
         if instrument:
             disp_h, disp_v, conf, counts = carry
@@ -360,6 +352,64 @@ def _match_level_scan(left, right, disp, level_index, cfg: MatcherConfig,
             return (state[0], state[1], state[2], counts), None
         return (state[0], state[1], state[2]), None
 
+    return body
+
+
+def _level_blurred_l2(left, cfg: MatcherConfig):
+    """Iteration-invariant blurred left energy (the reference recomputes
+    this every iteration/channel — MatchGPULib.cpp:1809-1880 — pure
+    waste)."""
+    from ug_stereomatcher_tpu.ops.pallas.blur import fused_blur_gaussian
+    if _use_pallas_stencil(cfg, left.shape[-2], left.shape[-1]):
+        return fused_blur_gaussian(left * left, boundary="clamp")
+    return blur_gaussian_clamp(left * left)
+
+
+def _match_level_scan(left, right, disp, level_index, cfg: MatcherConfig,
+                      is_coarsest, mi, n_smooth, thresholds,
+                      instrument: bool = False) -> jnp.ndarray:
+    """The lax.scan level loop (one fused XLA/Pallas-stencil iteration per
+    step) — the exact path `match_level` scans when the level-resident
+    kernel is gated off or its overflow guard fires.
+
+    With ``cfg.early_exit_delta`` set (opt-in, NON-parity: the reference
+    always runs its fixed iteration schedule) the scan becomes a
+    ``lax.while_loop`` that stops once the confidence-weighted mean
+    absolute disparity change of an iteration drops below the threshold
+    on both axes — the reference's own dormant convergence test
+    (differenceIterations, MatchGPULib.cpp:1323-1334) finally driving the
+    loop it was written for.  Instrumented runs keep the full scan so
+    tier counts stay schedule-shaped.  The while body runs the identical
+    iteration graph, but XLA may fuse across the loop construct
+    differently than in the scan, so outputs can differ at the ~1-ulp
+    level even at a threshold of 0 (measured 6e-8 on one level; the
+    usual gather-flip chaos amplifies that across a full pyramid)."""
+    use_pallas = _use_pallas_stencil(cfg, left.shape[-2], left.shape[-1])
+    blurred_l2 = _level_blurred_l2(left, cfg)
+    body = _make_level_body(left, right, blurred_l2, cfg, level_index,
+                            is_coarsest, n_smooth, use_pallas, instrument)
+
+    if cfg.early_exit_delta is not None and not instrument and mi > 1:
+        from ug_stereomatcher_tpu.ops.convergence import weighted_difference
+        thr = jnp.asarray(cfg.early_exit_delta, left.dtype)
+        big = jnp.asarray(jnp.inf, left.dtype)
+
+        def cond(carry):
+            m, _, _, _, delta = carry
+            return (m < mi) & (delta >= thr)
+
+        def wbody(carry):
+            m, disp_h, disp_v, conf, _ = carry
+            (nh, nv, nc), _ = body((disp_h, disp_v, conf),
+                                   (m, thresholds[m]))
+            delta = jnp.maximum(weighted_difference(nh, disp_h, nc),
+                                weighted_difference(nv, disp_v, nc))
+            return (m + 1, nh, nv, nc, delta)
+
+        _, disp_h, disp_v, conf, _ = jax.lax.while_loop(
+            cond, wbody, (jnp.int32(0), disp[0], disp[1], disp[2], big))
+        return jnp.stack([disp_h, disp_v, conf])
+
     ms = jnp.arange(mi)
     if instrument:
         init = (disp[0], disp[1], disp[2], jnp.zeros(6, jnp.int32))
@@ -369,6 +419,38 @@ def _match_level_scan(left, right, disp, level_index, cfg: MatcherConfig,
     init = (disp[0], disp[1], disp[2])
     (disp_h, disp_v, conf), _ = jax.lax.scan(body, init, (ms, thresholds))
     return jnp.stack([disp_h, disp_v, conf])
+
+
+def level_convergence_trace(left, right, disp, level_index,
+                            cfg: MatcherConfig, is_coarsest):
+    """Run one level's full iteration schedule and return
+    ``(triplet, deltas)`` where deltas is a (mi, 2) array of per-iteration
+    confidence-weighted mean |change| for (disp_h, disp_v) — the
+    reference's weightedDifference metric (MatchGPULib.cpp:1336-1437)
+    traced through the live loop.  Observability/tuning aid for
+    ``cfg.early_exit_delta``; runs the identical body as the serving
+    scan."""
+    from ug_stereomatcher_tpu.ops.convergence import weighted_difference
+    mi = cfg.iters_for_level(level_index)
+    n_smooth = cfg.smooth_passes_for_level(level_index)
+    thresholds = jnp.asarray(cfg.threshold_schedule(mi), dtype=left.dtype)
+    use_pallas = _use_pallas_stencil(cfg, left.shape[-2], left.shape[-1])
+    blurred_l2 = _level_blurred_l2(left, cfg)
+    body = _make_level_body(left, right, blurred_l2, cfg, level_index,
+                            is_coarsest, n_smooth, use_pallas,
+                            instrument=False)
+
+    def traced(carry, inputs):
+        disp_h, disp_v, conf = carry
+        (nh, nv, nc), _ = body(carry, inputs)
+        dh = weighted_difference(nh, disp_h, nc)
+        dv = weighted_difference(nv, disp_v, nc)
+        return (nh, nv, nc), jnp.stack([dh, dv])
+
+    init = (disp[0], disp[1], disp[2])
+    (disp_h, disp_v, conf), deltas = jax.lax.scan(
+        traced, init, (jnp.arange(mi), thresholds))
+    return jnp.stack([disp_h, disp_v, conf]), deltas
 
 
 
