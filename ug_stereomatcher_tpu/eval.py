@@ -99,7 +99,13 @@ def synthetic_scene(kind: str, height: int, width: int,
     right(x + d(x)) == left(x) for the returned d at every left pixel.
 
     kinds: 'constant' (fronto-parallel plane), 'slant' (disparity ramp),
-    'sine' (smooth two-axis warp), 'vertical' (pure vertical shift)."""
+    'sine' (smooth two-axis warp), 'vertical' (pure vertical shift),
+    'step' (fronto-parallel depth discontinuity: d jumps from
+    magnitude/4 to magnitude at mid-width — the hardest case for a
+    smoothing-regularised matcher; the correspondence construction below
+    keeps the ground truth exact even across the jump, so epe_metrics
+    scores it directly and callers can mask the +-few-px band around the
+    discontinuity where the plus-shaped smoothing necessarily blurs)."""
     rng = np.random.RandomState(seed)
     pad = int(np.ceil(abs(magnitude))) + 4
     base = _textured_base(height + 2 * pad, width + 2 * pad, rng)
@@ -119,6 +125,10 @@ def synthetic_scene(kind: str, height: int, width: int,
                 ).astype(np.float32)
         gt_v = (magnitude / 4 * np.sin(2 * np.pi * ys / height)
                 ).astype(np.float32)
+    elif kind == "step":
+        gt_h = np.where(xs < width // 2, magnitude / 4, magnitude
+                        ).astype(np.float32)
+        gt_v = np.zeros((height, width), np.float32)
     else:
         raise ValueError(f"unknown scene kind {kind!r}")
 
@@ -146,6 +156,7 @@ def synthetic_scene(kind: str, height: int, width: int,
 
 DEFAULT_SUITE = (
     ("constant", 3.0), ("vertical", 2.0), ("slant", 4.0), ("sine", 4.0),
+    ("step", 4.0),
 )
 
 
