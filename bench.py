@@ -351,10 +351,17 @@ def _scaling(jax, h, w, repeats):
 
     if "BENCH_H" not in os.environ:
         h, w = 408, 616   # scaling probe resolution (fovea-sized)
-    modes = os.environ.get("BENCH_SCALING_MODES", "dp,sp,hybrid").split(",")
+    known = ("dp", "sp", "hybrid")
+    modes = [m.strip() for m in
+             os.environ.get("BENCH_SCALING_MODES", ",".join(known)).split(",")
+             if m.strip()]
+    skipped = [m for m in modes if m not in known]
+    modes = [m for m in modes if m in known] or ["dp"]  # bad env var ->
+    # diagnostic fallback, not a crash (ditto an all-whitespace value)
     curves = {}
     dp_points = None
-    for mode in (m.strip() for m in modes if m.strip()):
+    points = []
+    for mode in modes:
         points = measure_throughput(height=h, width=w, repeats=repeats,
                                     mode=mode)
         curves[mode] = [{"devices": p.n_devices, "mesh": list(p.mesh_shape),
@@ -377,6 +384,7 @@ def _scaling(jax, h, w, repeats):
         "extra": {"curves": curves, "devices": len(jax.devices()),
                   "physical_cores": os.cpu_count(),
                   "headline_devices": best.n_devices,
+                  "skipped_modes": skipped,
                   "device": str(jax.devices()[0])},
     }
 

@@ -48,7 +48,7 @@ class TestWarmup:
     def test_warmup_then_match(self):
         eng = StereoEngine(MatcherConfig())
         eng.warmup(48, 64)
-        assert ("match", 48, 64, eng.config) in eng._cache
+        assert ("match", 48, 64, eng.config, False) in eng._cache
         img = np.zeros((48, 64, 3), np.uint8)
         res = eng.match(img, img)
         assert res.disparity_h.shape == (48, 64)

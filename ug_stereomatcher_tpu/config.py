@@ -102,8 +102,15 @@ class MatcherConfig:
     # stops once an iteration's confidence-weighted mean |disparity
     # change| drops below this value on BOTH axes.  Levels served by the
     # level-resident kernel (coarse, ~0-1 ms each) keep their fixed
-    # schedule — there is nothing worth exiting early there.  Typical
-    # useful range 1e-3..1e-2 px; None = parity.
+    # schedule — there is nothing worth exiting early there.  Scope: the
+    # single-device scan path and the pure-DP batch path (lax.map runs the
+    # same while_loop per pair) honor it; the ROW-SHARDED level bodies
+    # (parallel/spatial.py, i.e. sharded_match_pair and hybrid DP x SP
+    # meshes) run the fixed schedule regardless — an early exit there
+    # would need a cross-shard convergence collective every iteration,
+    # which costs more than the iterations it saves on the coarse levels
+    # it could skip.  sharded_match_pair warns once if it is set.
+    # Typical useful range 1e-3..1e-2 px; None = parity.
     early_exit_delta: Optional[float] = None
     smooth_passes: int = 5           # MatchGPULib.cpp:38 (smoothtime)
     smooth_passes_fine: int = 10     # MatchGPULib.cpp:2259-2261 (level>11 → 10)

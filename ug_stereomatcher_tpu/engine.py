@@ -239,8 +239,12 @@ class StereoEngine:
         right = _to_chw(right, self._dtype())
         _check_pair(left, right)
         h, w = left.shape[-2:]
-        fn = self._jitted(("match", h, w, cfg), lambda: jax.jit(
-            partial(self._match_impl, height=h, width=w)))
+        # instrument_tiers is part of the key: the instrumented fn returns
+        # (trip, counts) — mutating the attribute after a first call must
+        # not unpack a cached fn built for the other signature
+        fn = self._jitted(("match", h, w, cfg, self.instrument_tiers),
+                          lambda: jax.jit(
+                              partial(self._match_impl, height=h, width=w)))
         t0 = time.perf_counter()
         if self.instrument_tiers:
             trip, counts = fn(left, right)
@@ -276,8 +280,10 @@ class StereoEngine:
         h, w = left.shape[-2:]
         _check_fovea(cfg, h, w)
         fov_h, fov_w = cfg.fovea_dims(h, w)
-        fn = self._jitted(("fov", h, w, cfg), lambda: jax.jit(
-            partial(self._match_foveated_impl, height=h, width=w)))
+        fn = self._jitted(("fov", h, w, cfg, self.instrument_tiers),
+                          lambda: jax.jit(
+                              partial(self._match_foveated_impl,
+                                      height=h, width=w)))
         t0 = time.perf_counter()
         out = fn(left, right)
         if self.instrument_tiers:

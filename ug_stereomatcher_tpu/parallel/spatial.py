@@ -26,6 +26,7 @@ worth a collective (SURVEY.md §2.5 'replicate small levels').
 
 from __future__ import annotations
 
+import warnings
 from functools import partial
 from typing import Optional, Tuple
 
@@ -701,6 +702,22 @@ def sharded_resample(x: jnp.ndarray, out_h: int, out_w: int, coord_of,
             in_sharded = False
             halo = 0
             hl_in = in_h
+        else:
+            # The one-hot height pass below maps an out-of-range index to
+            # an all-zero selection row, NOT a clamped read like the
+            # jnp.take it replaced — a planner regression past this point
+            # would zero output rows silently.  Assert the contract at
+            # planning time (host numpy, zero device cost): every shard's
+            # tap indices, rebased into its haloed block, must land in
+            # [0, hl_in + 2*halo).
+            base_k = np.arange(n)[:, None] * hl_in - halo
+            for taps in (iy0m, iy1m) if wym is not None else (iy0m,):
+                rel = taps - base_k
+                assert rel.min() >= 0 and rel.max() < hl_in + 2 * halo, (
+                    f"sharded_resample halo planner bug: rebased tap "
+                    f"indices [{rel.min()}, {rel.max()}] fall outside the "
+                    f"haloed block [0, {hl_in + 2 * halo}) — the one-hot "
+                    f"height pass would silently zero rows")
 
     def body(xl):
         xw = _width_resample(xl, ix0, ix1, wx)
@@ -814,6 +831,17 @@ def sharded_match_pair(left: jnp.ndarray, right: jnp.ndarray,
 
     With ``pairs_axis``, inputs carry a leading batch axis (one pair per
     pairs-group) and the whole graph composes DP x SP over the 2-D mesh."""
+    if cfg.early_exit_delta is not None:
+        # The row-sharded level bodies run the fixed iteration schedule: an
+        # early exit would need a cross-shard convergence collective every
+        # iteration.  Only the small replicated levels (full match_level
+        # per device) honor the flag here — warn so a user enabling it on
+        # a mesh does not silently wait for a speedup that never comes
+        # (config.MatcherConfig.early_exit_delta scope note).
+        warnings.warn(
+            "early_exit_delta is ignored by row-sharded level bodies; "
+            "sharded_match_pair runs the fixed iteration schedule on "
+            "sharded levels", stacklevel=2)
     h, w = left.shape[-2:]
     n = cfg.num_levels(h, w)
     kw = dict(axis_name=axis_name, pairs_axis=pairs_axis,
