@@ -8,12 +8,24 @@ prints one JSON line per metric, ending with the primary one:
                   from 10 s/pair at 16MP)
   3. foveated_throughput — batched mode-2 pairs/s at 1MP (ref scaled from
                   3 s/pair at 16MP; the reference's throughput mode)
-  4. mode1      — 16MP full-pyramid disparity latency (ref: 10 s/pair);
+  4. mode1_bilinear / foveated_bilinear — the SAME latencies in the
+                  quality mode (interp="bilinear", ~10x lower EPE,
+                  docs/ACCURACY.md) — prices the 4-tap sweep against
+                  the nearest parity default.
+  5. mode1      — 16MP full-pyramid disparity latency (ref: 10 s/pair);
                   printed LAST with the other results embedded in
                   "extra" so a last-line parser still captures everything.
 
 vs_baseline > 1 means faster than the reference CUDA matcher
 (/root/reference/README.md:15-16; BASELINE.md).
+
+Every metric's extra carries persistent-compile-cache accounting
+(cache_requests / cache_hits / cache_misses + cache_new_entries, the
+names of newly written entries, and cache_warm = no entry written): a
+pre-handoff run with cache_warm=true on every metric PROVES a fresh
+process pays no persistable compile, and a false in a driver capture
+names exactly which programs recompiled (the BENCH_r04 478 s foveated
+first-call mystery, no longer unanswerable after the fact).
 
 Env overrides: BENCH_H, BENCH_W (default 3264 x 4928 — the Glasgow rig
 resolution, calibrations/calL.xml), BENCH_REPEATS (default 3),
@@ -80,7 +92,84 @@ def _setup_jax():
         jax.config.update("jax_traceback_in_locations_limit", 0)
     except Exception:
         pass  # older/newer jax without the flag: cache is merely fragile
+    _install_cache_counters(cache_dir)
     return jax
+
+
+class _CacheCounters:
+    """Per-metric persistent-compile-cache accounting.
+
+    Counts JAX's monitoring events (`compile_requests_use_cache` fires per
+    compile that consults the cache, `cache_hits` per retrieval), and names
+    the missed programs by diffing the cache directory (a miss that took
+    >= min_compile_time writes a new `jit_<name>-<key>-cache` entry).
+    Motivation: BENCH_r04 recorded a 478.6 s foveated first call that
+    *looked* like a cache miss but was indistinguishable from relay
+    contention after the fact — `cache_misses` in each metric's extra
+    makes a pre-handoff `python bench.py` run PROVE the driver will hit
+    warm (zero misses), and a nonzero count in a driver capture names
+    exactly which programs recompiled."""
+
+    def __init__(self, cache_dir):
+        self.cache_dir = cache_dir
+        self.requests = 0
+        self.hits = 0
+
+    def listener(self, event, **kw):
+        if event == "/jax/compilation_cache/compile_requests_use_cache":
+            self.requests += 1
+        elif event == "/jax/compilation_cache/cache_hits":
+            self.hits += 1
+
+    def _entries(self):
+        try:
+            return set(os.listdir(self.cache_dir))
+        except OSError:
+            return set()
+
+    def snapshot(self):
+        return (self.requests, self.hits, self._entries())
+
+    def delta(self, snap):
+        """(requests, hits, misses, new_entry_names) since ``snap``.
+
+        ``cache_misses`` counts every compile the cache did not serve —
+        including trivial sub-min_compile_time programs that are never
+        persisted and therefore always "miss" (harmless; they recompile
+        in milliseconds).  The warm-cache criterion is ``cache_warm``:
+        no compile expensive enough to persist happened, i.e. no new
+        entry was written."""
+        req0, hit0, names0 = snap
+        new = sorted(n.rsplit("-", 2)[0] for n in self._entries() - names0)
+        req = self.requests - req0
+        return {"cache_requests": req, "cache_hits": self.hits - hit0,
+                "cache_misses": req - (self.hits - hit0),
+                "cache_new_entries": new, "cache_warm": not new}
+
+
+_CACHE_COUNTERS = None
+
+
+def _install_cache_counters(cache_dir):
+    global _CACHE_COUNTERS
+    if _CACHE_COUNTERS is not None:
+        return
+    try:
+        from jax._src import monitoring
+        _CACHE_COUNTERS = _CacheCounters(cache_dir)
+        monitoring.register_event_listener(_CACHE_COUNTERS.listener)
+    except Exception:
+        _CACHE_COUNTERS = None  # private API moved: counts degrade to absent
+
+
+def _with_cache_stats(fn):
+    """Run a metric fn, annotating its extra with cache-miss accounting."""
+    if _CACHE_COUNTERS is None:
+        return fn()
+    snap = _CACHE_COUNTERS.snapshot()
+    out = fn()
+    out.setdefault("extra", {}).update(_CACHE_COUNTERS.delta(snap))
+    return out
 
 
 def _probe_backend():
@@ -227,15 +316,22 @@ def _make_pair(h, w, batch=None):
 
 
 def _latency(jax, mode, h, w, repeats):
-    """One metric dict for mode1 / foveated latency."""
+    """One metric dict for mode1 / foveated latency.  The ``_bilinear``
+    variants run the SAME graph with ``interp="bilinear"`` — the quality
+    mode (~10x lower EPE, docs/ACCURACY.md); benching it prices the
+    4-tap warp/resample sweep against the nearest parity default.  Its
+    vs_baseline still divides the reference's nearest-equivalent time
+    (the reference has no bilinear mode at all)."""
     import jax.numpy as jnp
 
     from ug_stereomatcher_tpu import StereoEngine, MatcherConfig
 
-    baseline_s = 10.0 if mode == "mode1" else 3.0
+    base_mode, _, interp_tag = mode.partition("_")
+    interp = interp_tag or "nearest"
+    baseline_s = 10.0 if base_mode == "mode1" else 3.0
     left, right = _make_pair(h, w)
-    eng = StereoEngine(MatcherConfig())
-    run = eng.match if mode == "mode1" else eng.match_foveated
+    eng = StereoEngine(MatcherConfig(interp=interp))
+    run = eng.match if base_mode == "mode1" else eng.match_foveated
 
     def plane(res):
         return res.disparity_h if hasattr(res, "disparity_h") else res.stack_h
@@ -277,6 +373,7 @@ def _latency(jax, mode, h, w, repeats):
         "vs_baseline": round(baseline_s / value, 3),
         "extra": {
             "height": h, "width": w, "repeats": repeats,
+            "interp": interp,
             "compile_plus_first_run_s": round(compile_s, 2),
             "all_runs_s": [round(t, 4) for t in times],
             "host_path_s": round(host_path_s, 3),
@@ -403,16 +500,20 @@ def main():
     mode = os.environ.get("BENCH_MODE", "all")
 
     if mode == "throughput":
-        print(json.dumps(_throughput(jax, h, w, repeats)))
+        print(json.dumps(_with_cache_stats(
+            lambda: _throughput(jax, h, w, repeats))))
         return
     if mode == "foveated_throughput":
-        print(json.dumps(_throughput(jax, h, w, repeats, foveated=True)))
+        print(json.dumps(_with_cache_stats(
+            lambda: _throughput(jax, h, w, repeats, foveated=True))))
         return
     if mode == "scaling":
-        print(json.dumps(_scaling(jax, h, w, repeats)))
+        print(json.dumps(_with_cache_stats(
+            lambda: _scaling(jax, h, w, repeats))))
         return
-    if mode in ("mode1", "foveated"):
-        print(json.dumps(_latency(jax, mode, h, w, repeats)))
+    if mode in ("mode1", "foveated", "mode1_bilinear", "foveated_bilinear"):
+        print(json.dumps(_with_cache_stats(
+            lambda: _latency(jax, mode, h, w, repeats))))
         return
 
     # mode == "all": secondary metrics first (each on its own JSON line),
@@ -424,9 +525,15 @@ def main():
                      ("throughput", lambda: _throughput(jax, h, w, repeats)),
                      ("foveated_throughput",
                       lambda: _throughput(jax, h, w, repeats,
-                                          foveated=True))):
+                                          foveated=True)),
+                     ("mode1_bilinear",
+                      lambda: _latency(jax, "mode1_bilinear", h, w,
+                                       repeats)),
+                     ("foveated_bilinear",
+                      lambda: _latency(jax, "foveated_bilinear", h, w,
+                                       repeats))):
         try:
-            r = fn()
+            r = _with_cache_stats(fn)
             side[name] = {k: r[k] for k in
                           ("metric", "value", "unit", "vs_baseline")}
             print(json.dumps(r))
@@ -436,7 +543,8 @@ def main():
                               "error": side[name]["error"]}))
         sys.stdout.flush()
 
-    primary = _latency(jax, "mode1", h, w, repeats)
+    primary = _with_cache_stats(
+        lambda: _latency(jax, "mode1", h, w, repeats))
     primary["extra"].update(side)
     print(json.dumps(primary))
 

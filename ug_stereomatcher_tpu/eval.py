@@ -160,6 +160,158 @@ DEFAULT_SUITE = (
 )
 
 
+# ----------------------------------------------------------------------
+# Real-scene stressor families (round 5): occlusion + photometric
+# asymmetry.  The reference's evaluation domain is cluttered real scenes
+# (clothing database, /root/reference/README.md:37-40) — occluded
+# regions where one eye sees background the other cannot, and eyes that
+# never photometrically agree.  The clean invertible warps above never
+# exercise either; these two families do, with exact ground truth and an
+# exact occlusion mask.
+# ----------------------------------------------------------------------
+
+def occlusion_scene(height: int, width: int, seed: int = 0,
+                    fg_disp: int = 8, bg_disp: int = 0,
+                    strip: Tuple[float, float] = (0.35, 0.55)
+                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                               np.ndarray, np.ndarray]:
+    """Two-layer scene: a foreground vertical strip at integer disparity
+    ``fg_disp`` over a background at ``bg_disp``.  Returns
+    ``(left, right, gt_h, gt_v, occluded)`` where ``occluded`` marks the
+    LEFT-image background pixels whose correspondent in the right image
+    is covered by the foreground — the classic occlusion band of width
+    ``fg_disp - bg_disp`` px at the strip's right edge, where no correct
+    match exists (MatchLib.cu:790-878's confidence model should go low
+    there; nothing can go *right*).
+
+    Correspondence contract for NON-occluded pixels, exact (integer
+    disparities, no resampling): ``right[:, x + d(x)] == left[:, x]``.
+    Foreground occupies left columns [x0, x1) and right columns
+    [x0+fg_disp, x1+fg_disp)."""
+    if fg_disp <= bg_disp:
+        raise ValueError("occlusion needs fg_disp > bg_disp")
+    rng = np.random.RandomState(seed)
+    pad = int(abs(fg_disp) + abs(bg_disp)) + 4
+    bg = _textured_base(height, width + 2 * pad, rng)
+    fg = _textured_base(height, width + 2 * pad, rng)
+    x0 = int(strip[0] * width)
+    x1 = int(strip[1] * width)
+    xs = np.arange(width)
+
+    in_fg_left = (xs >= x0) & (xs < x1)
+    left = np.where(in_fg_left[None, :, None], fg[:, pad:pad + width],
+                    bg[:, pad:pad + width])
+    gt_h = np.where(in_fg_left, float(fg_disp), float(bg_disp)
+                    ).astype(np.float32)
+    gt_h = np.broadcast_to(gt_h, (height, width)).copy()
+    gt_v = np.zeros((height, width), np.float32)
+
+    in_fg_right = (xs >= x0 + fg_disp) & (xs < x1 + fg_disp)
+    right = np.where(in_fg_right[None, :, None],
+                     fg[:, pad - fg_disp:pad - fg_disp + width],
+                     bg[:, pad - bg_disp:pad - bg_disp + width])
+
+    # left bg pixel x maps to right column x + bg_disp; occluded when the
+    # foreground covers that column in the right image
+    target = xs + bg_disp
+    occluded = (~in_fg_left) & (target >= x0 + fg_disp) & (
+        target < x1 + fg_disp)
+    occluded = np.broadcast_to(occluded, (height, width)).copy()
+    return (left.astype(np.uint8), right.astype(np.uint8),
+            gt_h, gt_v, occluded)
+
+
+def photometric_scene(height: int, width: int, seed: int = 0,
+                      magnitude: float = 4.0, kind: str = "sine",
+                      gain: float = 1.15, bias: float = 8.0,
+                      noise_sigma: float = 3.0
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                 np.ndarray]:
+    """A clean exact-ground-truth scene whose RIGHT eye is photometrically
+    perturbed: per-image gain/bias (exposure/vignetting mismatch between
+    cameras) plus iid Gaussian sensor noise.  Ground truth is the clean
+    scene's — the correspondence is unchanged, only the photometry lies.
+    The NCC^2-ratio correlation is gain-invariant in the limit (both
+    numerator and denominator scale with the local energy), so the
+    matcher should degrade gracefully, not collapse."""
+    left, right, gt_h, gt_v = synthetic_scene(kind, height, width,
+                                              seed=seed,
+                                              magnitude=magnitude)
+    rng = np.random.RandomState(seed + 1)
+    noisy = (right.astype(np.float32) * gain + bias
+             + rng.randn(*right.shape).astype(np.float32) * noise_sigma)
+    return (left, np.clip(noisy, 0, 255).astype(np.uint8), gt_h, gt_v)
+
+
+@dataclasses.dataclass
+class StressReport:
+    """Occlusion-family result: accuracy away from the occlusion plus the
+    confidence model's discriminative value on it."""
+    matched_epe: EpeReport        # EPE on never-occluded pixels
+    mean_conf_matched: float      # confidence where a true match exists
+    mean_conf_occluded: float     # confidence where no match exists
+    occluded_pixels: int
+
+    def as_dict(self) -> Dict[str, object]:
+        return {"matched_epe": self.matched_epe.as_dict(),
+                "mean_conf_matched": self.mean_conf_matched,
+                "mean_conf_occluded": self.mean_conf_occluded,
+                "occluded_pixels": self.occluded_pixels}
+
+
+def evaluate_occlusion(engine, height: int = 192, width: int = 256,
+                       seed: int = 0, fg_disp: int = 8, bg_disp: int = 0,
+                       margin: int = 16, guard: int = 4) -> StressReport:
+    """Run the occlusion family: EPE masked to never-occluded pixels
+    (``guard`` px dilation around the occlusion band and the disparity
+    step excluded — the plus-smoothing necessarily blurs both), plus
+    mean confidence on occluded vs matched pixels.  The confidence gate
+    is the first test anywhere of the model's discriminative value: the
+    reference computes it (MatchLib.cu:884-933) but never evaluates
+    it."""
+    left, right, gt_h, gt_v, occ = occlusion_scene(
+        height, width, seed=seed, fg_disp=fg_disp, bg_disp=bg_disp)
+    res = engine.match(left, right)
+    conf = np.asarray(res.confidence)
+
+    # dilate the exclusion zone: occlusion band + fg disparity edges
+    bad = _dilate(occ | _disparity_edges(gt_h), guard)
+
+    matched = epe_metrics(res.disparity_h, res.disparity_v, gt_h, gt_v,
+                          margin=margin, mask=~bad)
+    sl = (slice(margin, -margin), slice(margin, -margin))
+    occ_in = occ[sl]
+    bad_in = bad[sl]
+    conf_in = conf[sl]
+    return StressReport(
+        matched_epe=matched,
+        mean_conf_matched=float(conf_in[~bad_in].mean()),
+        mean_conf_occluded=float(conf_in[occ_in].mean()),
+        occluded_pixels=int(occ_in.sum()))
+
+
+def _dilate(mask: np.ndarray, iterations: int) -> np.ndarray:
+    """4-neighbour binary dilation (pure numpy; no scipy dependency)."""
+    m = mask.copy()
+    for _ in range(iterations):
+        grown = m.copy()
+        grown[1:] |= m[:-1]
+        grown[:-1] |= m[1:]
+        grown[:, 1:] |= m[:, :-1]
+        grown[:, :-1] |= m[:, 1:]
+        m = grown
+    return m
+
+
+def _disparity_edges(gt_h: np.ndarray) -> np.ndarray:
+    """Pixels adjacent to a ground-truth disparity discontinuity."""
+    e = np.zeros_like(gt_h, dtype=bool)
+    dx = np.abs(np.diff(gt_h, axis=1)) > 0.5
+    e[:, :-1] |= dx
+    e[:, 1:] |= dx
+    return e
+
+
 def evaluate_engine(engine, height: int = 192, width: int = 256,
                     suite: Sequence[Tuple[str, float]] = DEFAULT_SUITE,
                     seed: int = 0, margin: int = 16
