@@ -436,9 +436,11 @@ def _throughput(jax, h, w, repeats, foveated=False):
 def _scaling(jax, h, w, repeats):
     """Scaling tables via parallel.throughput.measure_throughput across
     1..N available devices (SURVEY.md §6 'frames/s efficiency at 1 chip /
-    1 host / N hosts') — three mesh families per run: 'dp' (pairs-only
+    1 host / N hosts') — four mesh families per run: 'dp' (pairs-only
     throughput), 'sp' (one pair row-sharded, latency scaling), 'hybrid'
-    (pairs=2 x rows, the batch<devices pod shape).  Each point carries an
+    (pairs=2 x rows, the batch<devices pod shape), 'dp_fov' (pairs-only
+    mode-2 foveated — the reference's throughput configuration).  Each
+    point carries an
     ``oversubscribed`` flag (devices > physical cores) so virtual-CPU-mesh
     curves stay diagnostic: the headline value is the DP efficiency at the
     LARGEST non-oversubscribed device count (on a real pod slice nothing
@@ -448,7 +450,8 @@ def _scaling(jax, h, w, repeats):
 
     if "BENCH_H" not in os.environ:
         h, w = 408, 616   # scaling probe resolution (fovea-sized)
-    known = ("dp", "sp", "hybrid")
+    known = ("dp", "sp", "hybrid", "dp_fov")  # dp_fov = mode-2 foveated
+    # DP — the reference's throughput configuration (README.md:16)
     modes = [m.strip() for m in
              os.environ.get("BENCH_SCALING_MODES", ",".join(known)).split(",")
              if m.strip()]
@@ -460,7 +463,8 @@ def _scaling(jax, h, w, repeats):
     points = []
     for mode in modes:
         points = measure_throughput(height=h, width=w, repeats=repeats,
-                                    mode=mode)
+                                    mode=mode.removesuffix("_fov"),
+                                    foveated=mode.endswith("_fov"))
         curves[mode] = [{"devices": p.n_devices, "mesh": list(p.mesh_shape),
                          "batch": p.batch,
                          "pairs_per_s": p.pairs_per_second,

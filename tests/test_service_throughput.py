@@ -89,6 +89,24 @@ class TestThroughput:
         assert pts[0].scaling_efficiency == 1.0
         assert pts[-1].mesh_shape == (n, 1)
 
+    def test_foveated_dp_scaling(self):
+        """foveated=True benches mode 2 through the same harness: the DP
+        curve of the reference's throughput configuration (VERDICT r4
+        item 5).  48x64 supports 5 levels, so fovea_level is lowered."""
+        import jax
+        from ug_stereomatcher_tpu.config import MatcherConfig
+        from ug_stereomatcher_tpu.parallel import measure_throughput
+        n = min(2, len(jax.devices()))
+        cfg = MatcherConfig(fovea_level=3)
+        pts = measure_throughput(height=48, width=64,
+                                 device_counts=[1, n], repeats=1,
+                                 cfg=cfg, foveated=True)
+        assert pts[0].pairs_per_second > 0
+        assert pts[-1].mesh_shape == (n, 1)
+        with pytest.raises(ValueError, match="fovea_level"):
+            measure_throughput(height=16, width=16, device_counts=[1],
+                               foveated=True)
+
     def test_sp_mode_row_shards_one_pair(self):
         """'sp' points keep batch=1 and put every device on the rows axis
         (latency scaling of a single row-sharded pair)."""

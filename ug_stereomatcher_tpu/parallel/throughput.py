@@ -61,12 +61,21 @@ def measure_throughput(height: int = 192, width: int = 256,
                        pairs_per_device: int = 1,
                        cfg: Optional[MatcherConfig] = None,
                        repeats: int = 3,
-                       mode: str = "dp") -> List[ThroughputPoint]:
+                       mode: str = "dp",
+                       foveated: bool = False) -> List[ThroughputPoint]:
     """Run the batched matcher at each device count; returns scaling
     points.  ``mode`` picks the mesh shape per point (see _mesh_shape):
     'dp' measures throughput scaling, 'sp' latency scaling of a single
-    row-sharded pair, 'hybrid' the DP x SP composition."""
+    row-sharded pair, 'hybrid' the DP x SP composition.  ``foveated``
+    benches mode 2 (the stacked fovea triplet per pair) — the
+    reference's throughput configuration (README.md:16); requires
+    enough pyramid levels for ``cfg.fovea_level`` at this size."""
     cfg = cfg or MatcherConfig()
+    if foveated and cfg.num_levels(height, width) < cfg.fovea_level:
+        raise ValueError(
+            f"{height}x{width} supports only "
+            f"{cfg.num_levels(height, width)} levels but fovea_level="
+            f"{cfg.fovea_level}; lower MatcherConfig.fovea_level")
     devices = jax.devices()
     if device_counts is None:
         n = len(devices)
@@ -90,7 +99,8 @@ def measure_throughput(height: int = 192, width: int = 256,
         # re-trace the whole pyramid and measure compile time instead of
         # steady-state throughput (same per-shape caching rule as
         # StereoEngine.match_batch).
-        fn = make_batch_matcher(cfg, height, width, mesh)
+        fn = make_batch_matcher(cfg, height, width, mesh,
+                                foveated=foveated)
 
         def run():
             out = fn(lj, rj)
