@@ -1,0 +1,88 @@
+"""Measure the convergence early exit where it claims to pay.
+
+docs/PERF.md's convergence section honestly shows the reference's fixed
+iteration schedule is TIGHT on natural textures; the mode's claimed
+habitat is easy scenes (low texture, small true disparity) and
+throughput pipelines that tolerate latency variance.  This tool prices
+that claim (VERDICT r4 item 7): 16MP mode-1 latency with and without
+``early_exit_delta`` on
+
+* ``natural`` — the bench scene (multi-octave texture, 3 px shift):
+  structure at every scale, the hard case;
+* ``easy``    — the same construction low-pass filtered to a smooth,
+  low-texture scene with a 1 px shift: the easy case.
+
+For each (scene, config): best-of-N device-resident latency (16MP calls
+run ~300 ms >> the relay's per-call floor, so plain timing is clean) and
+the median |disp_h - gt| so the speed/quality trade is visible in one
+table.  Results go in docs/PERF.md "Convergence early exit".
+
+Usage: python tools/bench_early_exit.py [thr] (default 0.05)
+"""
+
+import dataclasses
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from bench import _make_pair, _octave_texture, _setup_jax  # noqa: E402
+
+jax = _setup_jax()
+import jax.numpy as jnp  # noqa: E402
+
+from ug_stereomatcher_tpu import MatcherConfig, StereoEngine  # noqa: E402
+
+H, W = 3264, 4928
+REPEATS = 4
+THR = float(sys.argv[1]) if len(sys.argv) > 1 else 0.05
+
+
+def easy_pair(h, w):
+    """Low-texture scene: the octave texture with its fine octaves
+    suppressed (heavy separable box smoothing), 1 px constant shift."""
+    tex = _octave_texture(h, w + 8).astype(np.float32)
+    for _ in range(6):
+        tex[1:-1] = (tex[:-2] + tex[1:-1] + tex[2:]) / 3
+        tex[:, 1:-1] = (tex[:, :-2] + tex[:, 1:-1] + tex[:, 2:]) / 3
+    return tex[:, 3:w + 3].astype(np.uint8), tex[:, 2:w + 2].astype(
+        np.uint8), 1.0
+
+
+def main():
+    scenes = {}
+    l, r = _make_pair(H, W)
+    scenes["natural_3px"] = (l, r, 3.0)
+    scenes["easy_1px"] = easy_pair(H, W)
+
+    cfgs = {"parity": MatcherConfig(),
+            f"early_exit_{THR}": MatcherConfig(early_exit_delta=THR)}
+
+    print(f"{'scene':14s} {'config':18s} {'s/pair':>8s} {'pairs/s':>8s} "
+          f"{'median|err|':>11s}")
+    for sname, (left, right, gt) in scenes.items():
+        ld = jnp.asarray(left)
+        rd = jnp.asarray(right)
+        for cname, cfg in cfgs.items():
+            eng = StereoEngine(cfg)
+
+            def once():
+                t0 = time.perf_counter()
+                res = eng.match(ld, rd)
+                float(jnp.sum(res.confidence))
+                return time.perf_counter() - t0, res
+
+            once()  # compile/load
+            best, res = 1e9, None
+            for _ in range(REPEATS):
+                t, res = once()
+                best = min(best, t)
+            err = float(jnp.median(jnp.abs(
+                res.disparity_h[64:-64, 64:-64] - gt)))
+            print(f"{sname:14s} {cname:18s} {best:8.4f} {1 / best:8.2f} "
+                  f"{err:11.4f}")
+
+
+if __name__ == "__main__":
+    main()

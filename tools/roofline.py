@@ -70,27 +70,34 @@ cfg = MatcherConfig()
 # change if the contract does.
 # ----------------------------------------------------------------------
 
-def blur_instrs():
+FMA = 2  # an f32 multiply-add occupies 2 VPU issue slots: the measured
+#          mul-chain rate is 2.017x the FMA-chain rate (6.24 vs 3.09
+#          Tinstr/s on this chip), so slots — mul/add/cmp/select = 1,
+#          FMA = 2 — are the unit in which one ceiling describes both.
+#          Rolls are priced by their own microbench (measure_roll_cost).
+
+
+def blur_slots():
     """ops/pallas/direction._direction_kernel blur(): two separable
     5-tap passes; per pass 1 mul + 4 FMA (term-by-term ops.conv order)
     + 4 rolls (the centre tap needs none)."""
-    arith = 2 * 5
+    arith = 2 * (1 + 4 * FMA)
     rolls = 2 * 4
     return arith, rolls
 
 
-def parabola_instrs():
-    """ops/pointwise.parabola_fit: sub/mul b1 (2), add/sub c1 (2),
+def parabola_slots():
+    """ops/pointwise.parabola_fit: b1 sub+mul (2), c1 add+sub (2),
     has_peak cmp (1), off mul+div (2), clamp min+max (2), cstar 2 FMA
-    (2), over cmp (1), d sub (1), off_over sub+div+mul+cmp+select (5),
-    conf_in FMA+select (2), three final selects (3)."""
-    return 23
+    (4), over cmp (1), d sub (1), off_over sub+div+mul+cmp+select (5),
+    conf_in FMA+select (3), three final selects (3)."""
+    return 26
 
 
-def direction_counts(TH=64, TW=512, HALO=4, HW=64):
-    """Instruction counts for fused_direction_update (defaults = the
+def direction_counts(TH=64, TW=512, HALO=4, HW=64, roll_cost=1.0):
+    """Slot counts for fused_direction_update (defaults = the
     production tile, ops/pallas/direction.py:42-43, 207-208)."""
-    b_arith, b_roll = blur_instrs()
+    b_arith, b_roll = blur_slots()
     # bw2 = reclamp(blur(w*w)) per channel: square + blur (reclamp is
     # edge-tile-only, lax.cond-skipped on interior tiles -> amortized 0)
     buf_arith = 3 * (1 + b_arith)
@@ -103,28 +110,31 @@ def direction_counts(TH=64, TW=512, HALO=4, HW=64):
     # output-sized tail: den mul, ratio div, 2 clips, acc add (x15),
     # mean x(1/3) (x5), two parabola fits, conf mul, 2 disp adds,
     # blend mul+FMA, replace select
-    out = 15 * 5 + 5 + 2 * parabola_instrs() + 1 + 2 + 2 + 1
+    out = 15 * 5 + 5 + 2 * parabola_slots() + 1 + 2 + 3 + 1
     buffer_factor = ((TH + 2 * HALO) * (TW + 2 * HW)) / (TH * TW)
-    per_px = (buf_arith + buf_roll) * buffer_factor + out
+    per_px = (buf_arith + buf_roll * roll_cost) * buffer_factor + out
     return {"buffer_arith": buf_arith, "buffer_roll": buf_roll,
             "out": out, "buffer_factor": round(buffer_factor, 4),
             "instr_per_px": round(per_px, 1)}
 
 
-def smooth_counts(n_passes=10, TH=64, TW=1024, HW=64):
-    """Instruction counts for fused_smooth_average (production tile,
+def smooth_counts(n_passes=10, TH=64, TW=1024, HW=64, roll_cost=1.0):
+    """Slot counts for fused_smooth_average (production tile,
     ops/pallas/smooth.py:41, 166-167); HALO = smooth_halo_rows."""
     HALO = -(-(n_passes + 1) // 4) * 4
     # per pass: 4 rolls of conf; denominator 4 adds + 1 reciprocal;
     # per plane (x3): 4 rolls + mul + 4 FMA + mul-by-recip
-    per_pass = (4 + 12) + (5 + 3 * 6)
+    pass_roll = 4 + 12
+    pass_arith = 5 + 3 * (2 + 4 * FMA)
     # 3-tap average, per plane: 2 passes x (2 rolls + 2 add + 1 mul)
-    avg = 3 * 2 * 5
-    buf = n_passes * per_pass + avg
+    avg_roll = 3 * 2 * 2
+    avg_arith = 3 * 2 * 3
+    buf_arith = n_passes * pass_arith + avg_arith
+    buf_roll = n_passes * pass_roll + avg_roll
     buffer_factor = ((TH + 2 * HALO) * (TW + 2 * HW)) / (TH * TW)
-    per_px = buf * buffer_factor
-    return {"buffer_instr": buf, "halo": HALO,
-            "buffer_factor": round(buffer_factor, 4),
+    per_px = (buf_arith + buf_roll * roll_cost) * buffer_factor
+    return {"buffer_arith": buf_arith, "buffer_roll": buf_roll,
+            "halo": HALO, "buffer_factor": round(buffer_factor, 4),
             "instr_per_px": round(per_px, 1)}
 
 
@@ -147,41 +157,120 @@ def warp_bytes_per_px():
 # ----------------------------------------------------------------------
 
 def measure_ceilings():
-    floor = chained(lambda x: x + 1.0, jnp.zeros((8, 128), jnp.float32),
-                    n=N, repeats=REPEATS)
+    """Sustained VPU instruction rate and HBM stream bandwidth.
 
-    M = 32
+    Pitfalls engineered around (the first attempt hit all three):
+    * the multiplier/addend ride in as TRACED jit arguments — as closure
+      constants XLA folds a 32-deep affine chain into one FMA and the
+      'ceiling' reads 2x the VPU's physical limit (and the mul chain
+      collapses below the call floor, going negative after subtraction);
+    * chain depth x trip count sized so compute is ~100x the relay's
+      ~30 ms per-call floor and ~10x the array's own HBM streaming time
+      (8.4M elements cannot sit in VMEM across fori iterations);
+    * growth bounded: a = 1 + 1e-7 over 131k steps moves x by ~1.3%.
+    """
+    from tools._timing import timed
+    from jax import lax
+
+    floor = timed(lambda x: x + 1.0, jnp.zeros((8, 128), jnp.float32),
+                  repeats=REPEATS)
+
+    M, TRIPS = 256, 512
     a = jnp.float32(1.0000001)
     b = jnp.float32(1e-7)
     x0 = jnp.ones((2048, 4096), jnp.float32)
 
-    def fma_body(x):
-        for _ in range(M):
-            x = x * a + b
-        return x
+    def fma_loop(x, a, b):
+        def body(i, x):
+            for _ in range(M):
+                x = x * a + b
+            return x
+        return lax.fori_loop(0, TRIPS, body, x)
 
-    def mul_body(x):
-        for _ in range(M):
-            x = x * a
-        return x
+    def mul_loop(x, a):
+        def body(i, x):
+            for _ in range(M):
+                x = x * a
+            return x
+        return lax.fori_loop(0, TRIPS, body, x)
 
-    t_fma = chained(fma_body, x0, n=N, repeats=REPEATS)
-    t_mul = chained(mul_body, x0, n=N, repeats=REPEATS)
-    fma_rate = M * x0.size * N / (t_fma - floor)
-    mul_rate = M * x0.size * N / (t_mul - floor)
+    t_fma = timed(fma_loop, x0, a, b, repeats=REPEATS)
+    t_mul = timed(mul_loop, x0, a, repeats=REPEATS)
+    instrs = M * TRIPS * x0.size
+    fma_rate = instrs / (t_fma - floor)
+    mul_rate = instrs / (t_mul - floor)
 
     big = jnp.ones((8192, 8192), jnp.float32)  # 256 MB
+    HB_TRIPS = 128
 
-    def hbm_body(x):
-        return x + 1.0
+    def hbm_loop(x, a):
+        return lax.fori_loop(0, HB_TRIPS, lambda i, x: x * a, x)
 
-    t_hbm = chained(hbm_body, big, n=N, repeats=REPEATS)
-    hbm_rate = 2 * big.size * 4 * N / (t_hbm - floor)
+    t_hbm = timed(hbm_loop, big, a, repeats=REPEATS)
+    hbm_rate = 2 * big.size * 4 * HB_TRIPS / (t_hbm - floor)
 
     return {"floor_s": floor,
             "vpu_fma_instr_per_s": fma_rate,
             "vpu_mul_instr_per_s": mul_rate,
             "hbm_bytes_per_s": hbm_rate}
+
+
+def measure_roll_cost(ceil):
+    """Price ``pltpu.roll`` in VPU slots, per axis.
+
+    Two Pallas kernels whose per-rep bodies differ ONLY in four ops —
+    ``roll(acc, r, axis)`` vs ``minimum(acc, c_r)`` (min is a known
+    1-slot op; both are fold-proof: min because acc is data, roll
+    because it moves data).  The slot cost of a roll is then
+    1 + dt * ceiling / (4 * reps * elems).  Rolls appear ~170x per
+    pixel in the direction kernel and ~170x in smooth, so their true
+    cost decides whether those kernels sit near their op-mix ceiling."""
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from tools._timing import timed
+
+    REPS = 2048
+    THB, TWB = 256, 1024
+    x0 = jnp.ones((2048, 4096), jnp.float32) * 0.7
+    ni, nj = x0.shape[0] // THB, x0.shape[1] // TWB
+
+    def make_kernel(use_roll, axis):
+        def kern(x_ref, o_ref):
+            acc = x_ref[...]
+
+            def body(i, acc):
+                y = acc * 0.2
+                for r in range(1, 5):
+                    if use_roll:
+                        y = y + pltpu.roll(acc, r, axis=axis)
+                    else:
+                        y = y + jnp.minimum(acc, 0.5 + 0.1 * r)
+                return y * jnp.float32(1.0 / 4.2)
+
+            o_ref[...] = jax.lax.fori_loop(0, REPS, body, acc)
+        return kern
+
+    def run(use_roll, axis):
+        fn = pl.pallas_call(
+            make_kernel(use_roll, axis),
+            grid=(ni, nj),
+            in_specs=[pl.BlockSpec((THB, TWB), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((THB, TWB), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(x0.shape, jnp.float32))
+        return timed(fn, x0, repeats=REPEATS)
+
+    slot = ceil["vpu_mul_instr_per_s"]
+    base = run(False, 1)
+    out = {}
+    for axis, name in ((1, "lane"), (0, "sublane")):
+        t = run(True, axis)
+        cost = 1.0 + (t - base) * slot / (4 * REPS * x0.size)
+        out[f"roll_{name}_slots"] = cost
+    out["roll_baseline_s"] = base
+    return out
 
 
 # ----------------------------------------------------------------------
@@ -248,13 +337,13 @@ def measure_kernels(ceil):
             "smooth_s": t_smooth, "n_smooth": n_smooth}
 
 
-def build_report(ceil, kern):
+def build_report(ceil, kern, roll_cost=1.0):
     px = kern["px"]
-    vpu = ceil["vpu_fma_instr_per_s"]
+    vpu = ceil["vpu_mul_instr_per_s"]  # slots/s; FMA counted as 2
     hbm = ceil["hbm_bytes_per_s"]
     rows = []
 
-    dc = direction_counts()
+    dc = direction_counts(roll_cost=roll_cost)
     rate = px * dc["instr_per_px"] / kern["direction_s"]
     # direction HBM: read left+warped via halo slabs (buffer_factor x 3ch),
     # bl2 + disp blocks, write 3 planes
@@ -266,7 +355,7 @@ def build_report(ceil, kern):
         "bytes_per_px": dir_bytes,
         "pct_hbm": 100 * px * dir_bytes / kern["direction_s"] / hbm})
 
-    sc = smooth_counts(kern["n_smooth"])
+    sc = smooth_counts(kern["n_smooth"], roll_cost=roll_cost)
     rate = px * sc["instr_per_px"] / kern["smooth_s"]
     sm_bytes = (3 * 4 * sc["buffer_factor"] + 3 * 4)  # 3-plane read + write
     rows.append({
@@ -297,14 +386,24 @@ def main():
     ceil = measure_ceilings()
     print(f"vpu_fma  {ceil['vpu_fma_instr_per_s'] / 1e12:.3f} Tinstr/s "
           f"(= {2 * ceil['vpu_fma_instr_per_s'] / 1e12:.3f} Tflop/s f32)")
-    print(f"vpu_mul  {ceil['vpu_mul_instr_per_s'] / 1e12:.3f} Tinstr/s")
+    print(f"vpu_mul  {ceil['vpu_mul_instr_per_s'] / 1e12:.3f} Tinstr/s "
+          f"(the slot ceiling; FMA occupies "
+          f"{ceil['vpu_mul_instr_per_s'] / ceil['vpu_fma_instr_per_s']:.2f}"
+          f" slots)")
     print(f"hbm      {ceil['hbm_bytes_per_s'] / 1e9:.1f} GB/s")
 
+    rc = measure_roll_cost(ceil)
+    print(f"roll     lane {rc['roll_lane_slots']:.2f} slots, "
+          f"sublane {rc['roll_sublane_slots']:.2f} slots")
+    # the kernels roll both axes; horizontal (lane) rolls dominate the
+    # blur passes 1:1 with vertical, so use the mean as the mix price
+    roll_cost = (rc["roll_lane_slots"] + rc["roll_sublane_slots"]) / 2
+
     kern = measure_kernels(ceil)
-    rows = build_report(ceil, kern)
+    rows = build_report(ceil, kern, roll_cost=roll_cost)
     print(f"\n== L0 kernels at {H}x{W} ({kern['px'] / 1e6:.2f} Mpx), "
           f"chained N={N}, floor-corrected ==")
-    hdr = (f"{'kernel':24s} {'ms':>7s} {'instr/px':>9s} {'Ginstr/s':>9s} "
+    hdr = (f"{'kernel':24s} {'ms':>7s} {'slots/px':>9s} {'Gslot/s':>9s} "
            f"{'%VPU':>6s} {'B/px':>6s} {'%HBM':>6s}")
     print(hdr)
     for r in rows:
@@ -313,7 +412,8 @@ def main():
               f"{r['bytes_per_px']:6.1f} {r['pct_hbm']:6.1f}")
 
     if "--json" in sys.argv:
-        print(json.dumps({"ceilings": ceil, "kernels": kern,
+        print(json.dumps({"ceilings": ceil, "roll": rc,
+                          "roll_cost_used": roll_cost, "kernels": kern,
                           "rows": rows}, default=float))
 
 
