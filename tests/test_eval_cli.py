@@ -99,6 +99,30 @@ class TestPerSceneAccuracyGates:
                     < ab_table["nearest"][scene].median_epe), scene
 
 
+class TestEarlyExitAccuracy:
+    """Accuracy gates behind the measured early-exit throughput claims
+    (docs/PERF.md 'Convergence early exit', r5): nearest at thr=0.1 and
+    bilinear at thr=0.02 hold their parity-mode accuracy on the full
+    suite (nearest/0.1 measured ~23% faster at 16MP; bilinear/0.1 was
+    measured to DESTROY accuracy — 0.469 median, 48% >1px on constant —
+    which is why its documented threshold is 5x tighter)."""
+
+    @pytest.mark.parametrize("interp,thr", [("nearest", 0.1),
+                                            ("bilinear", 0.02)])
+    def test_early_exit_holds_suite_accuracy(self, interp, thr):
+        eng = StereoEngine(MatcherConfig(interp=interp,
+                                         early_exit_delta=thr))
+        reports = ev.evaluate_engine(eng, height=192, width=256)
+        for scene, r in reports.items():
+            med_max, bad1_max = _GATES[interp][scene]
+            # same thresholds as the parity-mode gates: early exit at
+            # the documented thresholds must not cost measurable EPE
+            assert r.median_epe < med_max, (interp, thr, scene,
+                                            r.as_dict())
+            assert r.bad_1_0 < max(bad1_max, 0.02), (interp, thr, scene,
+                                                     r.as_dict())
+
+
 class TestStressFamilies:
     """Real-scene stressors (VERDICT r4 missing item 2): occlusion with an
     exact no-correct-match mask, and photometric asymmetry between eyes.

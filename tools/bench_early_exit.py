@@ -17,10 +17,10 @@ run ~300 ms >> the relay's per-call floor, so plain timing is clean) and
 the median |disp_h - gt| so the speed/quality trade is visible in one
 table.  Results go in docs/PERF.md "Convergence early exit".
 
-Usage: python tools/bench_early_exit.py [thr] (default 0.05)
+Usage: python tools/bench_early_exit.py [thr] [--interp bilinear]
+       (default thr 0.05, interp nearest)
 """
 
-import dataclasses
 import sys
 import time
 
@@ -36,7 +36,10 @@ from ug_stereomatcher_tpu import MatcherConfig, StereoEngine  # noqa: E402
 
 H, W = 3264, 4928
 REPEATS = 4
-THR = float(sys.argv[1]) if len(sys.argv) > 1 else 0.05
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+THR = float(_pos[0]) if _pos else 0.05
+INTERP = (sys.argv[sys.argv.index("--interp") + 1]
+          if "--interp" in sys.argv else "nearest")
 
 
 def easy_pair(h, w):
@@ -56,8 +59,10 @@ def main():
     scenes["natural_3px"] = (l, r, 3.0)
     scenes["easy_1px"] = easy_pair(H, W)
 
-    cfgs = {"parity": MatcherConfig(),
-            f"early_exit_{THR}": MatcherConfig(early_exit_delta=THR)}
+    cfgs = {"baseline": MatcherConfig(interp=INTERP),
+            f"early_exit_{THR}": MatcherConfig(interp=INTERP,
+                                               early_exit_delta=THR)}
+    print(f"interp={INTERP}")
 
     print(f"{'scene':14s} {'config':18s} {'s/pair':>8s} {'pairs/s':>8s} "
           f"{'median|err|':>11s}")
