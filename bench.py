@@ -12,7 +12,11 @@ prints one JSON line per metric, ending with the primary one:
                   quality mode (interp="bilinear", ~10x lower EPE,
                   docs/ACCURACY.md) — prices the 4-tap sweep against
                   the nearest parity default.
-  5. mode1      — 16MP full-pyramid disparity latency (ref: 10 s/pair);
+  5. mode1_ee / mode1_bilinear_ee — convergence early exit at each
+                  mode's accuracy-safe threshold (nearest 0.1,
+                  bilinear 0.02; CI-gated to suite-EPE parity) — the
+                  framework's fastest serving modes (docs/PERF.md).
+  6. mode1      — 16MP full-pyramid disparity latency (ref: 10 s/pair);
                   printed LAST with the other results embedded in
                   "extra" so a last-line parser still captures everything.
 
@@ -319,18 +323,25 @@ def _latency(jax, mode, h, w, repeats):
     """One metric dict for mode1 / foveated latency.  The ``_bilinear``
     variants run the SAME graph with ``interp="bilinear"`` — the quality
     mode (~10x lower EPE, docs/ACCURACY.md); benching it prices the
-    4-tap warp/resample sweep against the nearest parity default.  Its
-    vs_baseline still divides the reference's nearest-equivalent time
-    (the reference has no bilinear mode at all)."""
+    4-tap warp/resample sweep against the nearest parity default.  The
+    ``_ee`` variants additionally enable the convergence early exit at
+    each interp mode's accuracy-safe threshold (nearest 0.1, bilinear
+    0.02 — CI-gated to suite-EPE parity, docs/PERF.md "Convergence
+    early exit").  vs_baseline always divides the reference's
+    nearest-fixed-schedule time (it has neither mode)."""
     import jax.numpy as jnp
 
     from ug_stereomatcher_tpu import StereoEngine, MatcherConfig
 
-    base_mode, _, interp_tag = mode.partition("_")
-    interp = interp_tag or "nearest"
+    parts = mode.split("_")
+    base_mode = parts[0]
+    interp = "bilinear" if "bilinear" in parts else "nearest"
+    early = ("ee" in parts) and (0.02 if interp == "bilinear" else 0.1
+                                 ) or None
     baseline_s = 10.0 if base_mode == "mode1" else 3.0
     left, right = _make_pair(h, w)
-    eng = StereoEngine(MatcherConfig(interp=interp))
+    eng = StereoEngine(MatcherConfig(interp=interp,
+                                     early_exit_delta=early))
     run = eng.match if base_mode == "mode1" else eng.match_foveated
 
     def plane(res):
@@ -373,7 +384,7 @@ def _latency(jax, mode, h, w, repeats):
         "vs_baseline": round(baseline_s / value, 3),
         "extra": {
             "height": h, "width": w, "repeats": repeats,
-            "interp": interp,
+            "interp": interp, "early_exit_delta": early,
             "compile_plus_first_run_s": round(compile_s, 2),
             "all_runs_s": [round(t, 4) for t in times],
             "host_path_s": round(host_path_s, 3),
@@ -515,7 +526,8 @@ def main():
         print(json.dumps(_with_cache_stats(
             lambda: _scaling(jax, h, w, repeats))))
         return
-    if mode in ("mode1", "foveated", "mode1_bilinear", "foveated_bilinear"):
+    if mode in ("mode1", "foveated", "mode1_bilinear", "foveated_bilinear",
+                "mode1_ee", "mode1_bilinear_ee"):
         print(json.dumps(_with_cache_stats(
             lambda: _latency(jax, mode, h, w, repeats))))
         return
@@ -535,6 +547,11 @@ def main():
                                        repeats)),
                      ("foveated_bilinear",
                       lambda: _latency(jax, "foveated_bilinear", h, w,
+                                       repeats)),
+                     ("mode1_ee",
+                      lambda: _latency(jax, "mode1_ee", h, w, repeats)),
+                     ("mode1_bilinear_ee",
+                      lambda: _latency(jax, "mode1_bilinear_ee", h, w,
                                        repeats))):
         try:
             r = _with_cache_stats(fn)
