@@ -469,13 +469,27 @@ def _scaling(jax, h, w, repeats):
     skipped = [m for m in modes if m not in known]
     modes = [m for m in modes if m in known] or ["dp"]  # bad env var ->
     # diagnostic fallback, not a crash (ditto an all-whitespace value)
+    from ug_stereomatcher_tpu import MatcherConfig
     curves = {}
     dp_points = None
     points = []
     for mode in modes:
-        points = measure_throughput(height=h, width=w, repeats=repeats,
-                                    mode=mode.removesuffix("_fov"),
-                                    foveated=mode.endswith("_fov"))
+        cfg = MatcherConfig()
+        if mode.endswith("_fov"):
+            # small probe sizes may not carry fovea_level(7) pyramid
+            # levels — lower it rather than lose the whole metric
+            n = cfg.num_levels(h, w)
+            if n < cfg.fovea_level:
+                cfg = MatcherConfig(fovea_level=max(2, n))
+        try:
+            points = measure_throughput(height=h, width=w, repeats=repeats,
+                                        mode=mode.removesuffix("_fov"),
+                                        cfg=cfg,
+                                        foveated=mode.endswith("_fov"))
+        except Exception as e:
+            # one failing family must not sink the others' curves
+            curves[mode] = {"error": f"{type(e).__name__}: {e}"}
+            continue
         curves[mode] = [{"devices": p.n_devices, "mesh": list(p.mesh_shape),
                          "batch": p.batch,
                          "pairs_per_s": p.pairs_per_second,
@@ -486,6 +500,11 @@ def _scaling(jax, h, w, repeats):
         if mode == "dp":
             dp_points = points
     head = dp_points or points
+    if not head:  # every family failed: structured diagnostic, not a crash
+        return {"metric": f"mesh_scaling_{h}x{w}", "value": 0,
+                "unit": "dp_efficiency_at_max_diagnostic_devices",
+                "vs_baseline": 0,
+                "extra": {"curves": curves, "skipped_modes": skipped}}
     diag = [p for p in head if not p.oversubscribed] or list(head)
     best = diag[-1]
     return {
@@ -501,7 +520,22 @@ def _scaling(jax, h, w, repeats):
     }
 
 
+_MODES = ("all", "throughput", "foveated_throughput", "scaling", "mode1",
+          "foveated", "mode1_bilinear", "foveated_bilinear", "mode1_ee",
+          "mode1_bilinear_ee")
+
+
 def main():
+    mode = os.environ.get("BENCH_MODE", "all")
+    if mode not in _MODES:
+        # reject BEFORE the backend probe: an unknown/typo'd mode must
+        # not fall through to the full 16MP suite (hours of relay
+        # compiles for a typo), nor even pay the probe
+        print(json.dumps({"metric": "bench_env_FAILED", "value": 0,
+                          "unit": "n/a", "vs_baseline": 0,
+                          "error": f"unknown BENCH_MODE {mode!r}; "
+                                   f"valid: {', '.join(_MODES)}"}))
+        return 2
     err = _probe_backend()
     if err is not None:
         print(json.dumps({"metric": "bench_env_FAILED", "value": 0,
@@ -512,7 +546,6 @@ def main():
     h = int(os.environ.get("BENCH_H", 3264))
     w = int(os.environ.get("BENCH_W", 4928))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
-    mode = os.environ.get("BENCH_MODE", "all")
 
     if mode == "throughput":
         print(json.dumps(_with_cache_stats(

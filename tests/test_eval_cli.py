@@ -136,7 +136,6 @@ class TestStressFamilies:
     def test_occlusion_scene_contract(self):
         left, right, gt_h, gt_v, occ = ev.occlusion_scene(96, 128,
                                                           fg_disp=6)
-        xs = np.arange(128)
         # exact correspondence holds at every NON-occluded pixel
         for y in (10, 50, 90):
             for x in range(4, 120):

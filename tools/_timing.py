@@ -45,3 +45,24 @@ def chained(body, init, *consts, n=8, repeats=3):
     def loop(x, *cs):
         return lax.fori_loop(0, n, lambda i, c: body(c, *cs), x)
     return timed(loop, init, *consts, repeats=repeats)
+
+
+def dep(x, y):
+    """Cheap data dependence: fold a scalar of x into y, so a chained
+    loop body cannot be dead-code-eliminated or hoisted."""
+    return y + x[(0,) * (x.ndim - 2)][0, 0] * 0.0
+
+
+def representative_field(h, w):
+    """The shared kernel-benchmark disparity state: a smooth ~3 px
+    horizontal field with mild vertical warp and mid confidence — the
+    kind of field the matcher carries mid-refinement (used by
+    profile_hotloop and roofline so both tools measure the same call
+    shape)."""
+    yy = jnp.linspace(0.0, 1.0, h)[:, None]
+    xx = jnp.linspace(0.0, 1.0, w)[None, :]
+    dh = (3.0 + 0.5 * jnp.sin(2 * jnp.pi * yy) * jnp.cos(2 * jnp.pi * xx)
+          ).astype(jnp.float32)
+    dv = (0.3 * jnp.sin(2 * jnp.pi * xx) + 0.0 * yy).astype(jnp.float32)
+    conf = jnp.full((h, w), 0.5, jnp.float32)
+    return dh, dv, conf

@@ -36,10 +36,27 @@ from ug_stereomatcher_tpu import MatcherConfig, StereoEngine  # noqa: E402
 
 H, W = 3264, 4928
 REPEATS = 4
-_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
-THR = float(_pos[0]) if _pos else 0.05
-INTERP = (sys.argv[sys.argv.index("--interp") + 1]
-          if "--interp" in sys.argv else "nearest")
+
+
+def _parse_args(argv):
+    """(thr, interp) from e.g. ['0.02', '--interp', 'bilinear'] — flag
+    VALUES must not be mistaken for the positional threshold."""
+    thr, interp = 0.05, "nearest"
+    it = iter(argv)
+    for a in it:
+        if a == "--interp":
+            try:
+                interp = next(it)
+            except StopIteration:
+                raise SystemExit("--interp needs a value")
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown flag {a!r}")
+        else:
+            thr = float(a)
+    return thr, interp
+
+
+THR, INTERP = _parse_args(sys.argv[1:])
 
 
 def easy_pair(h, w):

@@ -38,7 +38,9 @@ REPEATS = 3
 cfg = MatcherConfig()
 
 
-from tools._timing import sync, timed as _timed, chained as _chained  # noqa: E402
+from tools._timing import (sync, timed as _timed,  # noqa: E402
+                           chained as _chained, dep,
+                           representative_field)
 
 
 def timed(fn, *args):
@@ -82,20 +84,12 @@ def main():
     h, w = L.shape[-2:]
     print(f"\n== L{li} components ({h}x{w}), N={N} chained, floor-corrected ==")
 
-    # representative disparity state: smooth field, ~3 px horizontal
-    yy = jnp.linspace(0.0, 1.0, h)[:, None]
-    xx = jnp.linspace(0.0, 1.0, w)[None, :]
-    dh = (3.0 + 0.5 * jnp.sin(2 * jnp.pi * yy) * jnp.cos(2 * jnp.pi * xx)
-          ).astype(jnp.float32)
-    dv = (0.3 * jnp.sin(2 * jnp.pi * xx) + 0.0 * yy).astype(jnp.float32)
-    conf = jnp.full((h, w), 0.5, jnp.float32)
+    # representative disparity state (shared with tools/roofline.py so
+    # both tools measure the same call shape)
+    dh, dv, conf = representative_field(h, w)
 
     floor = chained(lambda x: x + 1.0, jnp.zeros((8, 128), jnp.float32))
     print(f"empty_loop total={floor*1e3:.2f} ms")
-
-    def dep(x, y):
-        """Cheap data dependence: fold a scalar of x into y."""
-        return y + x[(0,) * (x.ndim - 2)][0, 0] * 0.0
 
     from ug_stereomatcher_tpu.ops.pallas.warp import (warp_windowed,
                                                       window_reach)

@@ -51,7 +51,8 @@ import jax.numpy as jnp  # noqa: E402
 from ug_stereomatcher_tpu import MatcherConfig  # noqa: E402
 from ug_stereomatcher_tpu import match as match_mod  # noqa: E402
 from ug_stereomatcher_tpu import pyramid as pyr  # noqa: E402
-from tools._timing import chained  # noqa: E402
+from tools._timing import (chained, dep,  # noqa: E402
+                           representative_field)
 
 N = 8
 REPEATS = 3
@@ -293,17 +294,9 @@ def measure_kernels(ceil):
     L, R = lp[0], rp[0]
     h, w = L.shape[-2:]
 
-    yy = jnp.linspace(0.0, 1.0, h)[:, None]
-    xx = jnp.linspace(0.0, 1.0, w)[None, :]
-    dh = (3.0 + 0.5 * jnp.sin(2 * jnp.pi * yy) * jnp.cos(2 * jnp.pi * xx)
-          ).astype(jnp.float32)
-    dv = (0.3 * jnp.sin(2 * jnp.pi * xx) + 0.0 * yy).astype(jnp.float32)
-    conf = jnp.full((h, w), 0.5, jnp.float32)
+    dh, dv, conf = representative_field(h, w)
     state0 = jnp.stack([dh, dv, conf])
     floor = ceil["floor_s"]
-
-    def dep(x, y):
-        return y + x[(0,) * (x.ndim - 2)][0, 0] * 0.0
 
     def warp_body(c, R, dh, dv):
         return match_mod.warp_for_level(R, dep(c, dh), dv, cfg, 0)

@@ -713,11 +713,16 @@ def sharded_resample(x: jnp.ndarray, out_h: int, out_w: int, coord_of,
             base_k = np.arange(n)[:, None] * hl_in - halo
             for taps in (iy0m, iy1m) if wym is not None else (iy0m,):
                 rel = taps - base_k
-                assert rel.min() >= 0 and rel.max() < hl_in + 2 * halo, (
-                    f"sharded_resample halo planner bug: rebased tap "
-                    f"indices [{rel.min()}, {rel.max()}] fall outside the "
-                    f"haloed block [0, {hl_in + 2 * halo}) — the one-hot "
-                    f"height pass would silently zero rows")
+                if rel.min() < 0 or rel.max() >= hl_in + 2 * halo:
+                    # a real raise, not `assert` — python -O must not
+                    # strip the guard whose whole point is preventing
+                    # silent zeroed rows
+                    raise ValueError(
+                        f"sharded_resample halo planner bug: rebased "
+                        f"tap indices [{rel.min()}, {rel.max()}] fall "
+                        f"outside the haloed block "
+                        f"[0, {hl_in + 2 * halo}) — the one-hot height "
+                        f"pass would silently zero rows")
 
     def body(xl):
         xw = _width_resample(xl, ix0, ix1, wx)
