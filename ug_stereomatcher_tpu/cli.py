@@ -30,6 +30,10 @@ def _add_engine_args(p):
                    help="resampling (nearest = reference parity)")
     p.add_argument("--warp-backend", choices=["auto", "xla", "pallas"],
                    default=None)
+    p.add_argument("--early-exit-delta", type=float, default=None,
+                   help="convergence early exit threshold (non-parity; "
+                        "accuracy-safe values: 0.1 nearest, 0.02 "
+                        "bilinear — docs/PERF.md)")
 
 
 def _engine(args):
@@ -40,7 +44,9 @@ def _engine(args):
            else MatcherConfig())
     overrides = {k: v for k, v in (("fovea_level", args.fovea_level),
                                    ("interp", args.interp),
-                                   ("warp_backend", args.warp_backend))
+                                   ("warp_backend", args.warp_backend),
+                                   ("early_exit_delta",
+                                    args.early_exit_delta))
                  if v is not None}
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
