@@ -336,8 +336,8 @@ def _latency(jax, mode, h, w, repeats):
     parts = mode.split("_")
     base_mode = parts[0]
     interp = "bilinear" if "bilinear" in parts else "nearest"
-    early = ("ee" in parts) and (0.02 if interp == "bilinear" else 0.1
-                                 ) or None
+    early = ((0.02 if interp == "bilinear" else 0.1)
+             if "ee" in parts else None)
     baseline_s = 10.0 if base_mode == "mode1" else 3.0
     left, right = _make_pair(h, w)
     eng = StereoEngine(MatcherConfig(interp=interp,
@@ -472,7 +472,7 @@ def _scaling(jax, h, w, repeats):
     from ug_stereomatcher_tpu import MatcherConfig
     curves = {}
     dp_points = None
-    points = []
+    last_ok = None  # (family, points) of the last family that measured
     for mode in modes:
         cfg = MatcherConfig()
         if mode.endswith("_fov"):
@@ -497,20 +497,31 @@ def _scaling(jax, h, w, repeats):
                          "efficiency": p.scaling_efficiency,
                          "oversubscribed": p.oversubscribed}
                         for p in points]
+        last_ok = (mode, points)
         if mode == "dp":
             dp_points = points
-    head = dp_points or points
-    if not head:  # every family failed: structured diagnostic, not a crash
+    # Headline: the DP curve when it was requested AND measured.  If dp was
+    # requested but its family errored, do NOT promote another family's
+    # points under the dp label (a silently-wrong certified headline is
+    # worse than a diagnostic); only a dp-less BENCH_SCALING_MODES may
+    # headline a different family, and the unit says which.
+    if "dp" in modes:
+        head = ("dp", dp_points) if dp_points else None
+    else:
+        head = last_ok
+    if head is None:  # nothing usable: structured diagnostic, not a crash
         return {"metric": f"mesh_scaling_{h}x{w}", "value": 0,
                 "unit": "dp_efficiency_at_max_diagnostic_devices",
                 "vs_baseline": 0,
                 "extra": {"curves": curves, "skipped_modes": skipped}}
-    diag = [p for p in head if not p.oversubscribed] or list(head)
+    head_mode, head_points = head
+    diag = ([p for p in head_points if not p.oversubscribed]
+            or list(head_points))
     best = diag[-1]
     return {
         "metric": f"mesh_scaling_{h}x{w}",
         "value": best.scaling_efficiency,
-        "unit": "dp_efficiency_at_max_diagnostic_devices",
+        "unit": f"{head_mode}_efficiency_at_max_diagnostic_devices",
         "vs_baseline": best.scaling_efficiency,  # ref has no multi-device
         "extra": {"curves": curves, "devices": len(jax.devices()),
                   "physical_cores": os.cpu_count(),

@@ -76,9 +76,12 @@ def main():
     scenes["natural_3px"] = (l, r, 3.0)
     scenes["easy_1px"] = easy_pair(H, W)
 
-    cfgs = {"baseline": MatcherConfig(interp=INTERP),
-            f"early_exit_{THR}": MatcherConfig(interp=INTERP,
-                                               early_exit_delta=THR)}
+    # one engine per config, shared across scenes: the per-shape jit cache
+    # lives on the engine, so the second scene reuses the traced 16MP graph
+    # and its relay-loaded executable instead of re-paying both
+    engines = {"baseline": StereoEngine(MatcherConfig(interp=INTERP)),
+               f"early_exit_{THR}": StereoEngine(MatcherConfig(
+                   interp=INTERP, early_exit_delta=THR))}
     print(f"interp={INTERP}")
 
     print(f"{'scene':14s} {'config':18s} {'s/pair':>8s} {'pairs/s':>8s} "
@@ -86,8 +89,7 @@ def main():
     for sname, (left, right, gt) in scenes.items():
         ld = jnp.asarray(left)
         rd = jnp.asarray(right)
-        for cname, cfg in cfgs.items():
-            eng = StereoEngine(cfg)
+        for cname, eng in engines.items():
 
             def once():
                 t0 = time.perf_counter()

@@ -279,7 +279,7 @@ def evaluate_occlusion(engine, height: int = 192, width: int = 256,
 
     matched = epe_metrics(res.disparity_h, res.disparity_v, gt_h, gt_v,
                           margin=margin, mask=~bad)
-    sl = (slice(margin, -margin), slice(margin, -margin))
+    sl = (slice(margin, -margin or None), slice(margin, -margin or None))
     occ_in = occ[sl]
     bad_in = bad[sl]
     conf_in = conf[sl]
