@@ -87,3 +87,68 @@ class TestBenchScene:
         lb, rb = bench._make_pair(16, 24, batch=3)
         assert lb.shape == (3, 16, 24, 3)
         assert not np.array_equal(lb[0], lb[1])
+
+
+class _FakePoint:
+    def __init__(self, n_devices, eff, oversubscribed=False):
+        self.n_devices = n_devices
+        self.mesh_shape = (n_devices, 1)
+        self.batch = n_devices
+        self.pairs_per_second = 2.0 * n_devices * eff
+        self.seconds_per_batch = 0.5
+        self.scaling_efficiency = eff
+        self.oversubscribed = oversubscribed
+
+
+class _FakeJax:
+    class _Dev:
+        def __str__(self):
+            return "FakeDevice0"
+
+    @staticmethod
+    def devices():
+        return [_FakeJax._Dev()]
+
+
+class TestScalingHeadline:
+    """_scaling's headline must never report another family's numbers
+    under the dp label (a silently-wrong certified value is worse than a
+    structured diagnostic)."""
+
+    def _run(self, monkeypatch, modes_env, fake):
+        from ug_stereomatcher_tpu.parallel import throughput as tp
+        monkeypatch.setattr(tp, "measure_throughput", fake)
+        monkeypatch.setenv("BENCH_SCALING_MODES", modes_env)
+        monkeypatch.delenv("BENCH_H", raising=False)
+        return bench._scaling(_FakeJax, 64, 96, 1)
+
+    def test_dp_failure_yields_diagnostic_not_other_family(self, monkeypatch):
+        def fake(mode="dp", **kw):
+            if mode == "dp":
+                raise RuntimeError("dp exploded")
+            return [_FakePoint(1, 1.0), _FakePoint(2, 0.9)]
+
+        out = self._run(monkeypatch, "dp,sp", fake)
+        assert out["value"] == 0
+        assert out["unit"].startswith("dp_")
+        assert "dp exploded" in out["extra"]["curves"]["dp"]["error"]
+        # sp's curve is still recorded as data, just not promoted
+        assert len(out["extra"]["curves"]["sp"]) == 2
+
+    def test_dp_less_run_labels_unit_by_actual_family(self, monkeypatch):
+        def fake(mode="dp", **kw):
+            return [_FakePoint(1, 1.0), _FakePoint(2, 0.8)]
+
+        out = self._run(monkeypatch, "sp", fake)
+        assert out["unit"].startswith("sp_")
+        assert out["value"] == 0.8
+
+    def test_dp_headline_skips_oversubscribed_points(self, monkeypatch):
+        def fake(mode="dp", **kw):
+            return [_FakePoint(1, 1.0), _FakePoint(2, 0.9),
+                    _FakePoint(8, 0.4, oversubscribed=True)]
+
+        out = self._run(monkeypatch, "dp", fake)
+        assert out["unit"].startswith("dp_")
+        assert out["value"] == 0.9
+        assert out["extra"]["headline_devices"] == 2
